@@ -1,0 +1,44 @@
+"""Batched convex-QP solvers — the single solver family that replaces the
+reference's five separate native-solver call sites (OSQP RTI, IPOPT NLPs,
+safety QP, hull membership/projection, SCVX subproblems; SURVEY.md §7)."""
+
+from .admm import ADMMConfig, solve, solve_batch, solve_jit
+from .mpc_qp import (
+    build_constraints,
+    build_cost,
+    build_mpc_qp,
+    join_z,
+    n_constraints,
+    n_vars,
+    split_z,
+)
+from .types import (
+    DUAL_INFEASIBLE,
+    MAX_ITER,
+    PRIMAL_INFEASIBLE,
+    SOLVED,
+    STATUS_NAMES,
+    QPData,
+    QPSolution,
+)
+
+__all__ = [
+    "ADMMConfig",
+    "DUAL_INFEASIBLE",
+    "MAX_ITER",
+    "PRIMAL_INFEASIBLE",
+    "SOLVED",
+    "STATUS_NAMES",
+    "QPData",
+    "QPSolution",
+    "build_constraints",
+    "build_cost",
+    "build_mpc_qp",
+    "join_z",
+    "n_constraints",
+    "n_vars",
+    "solve",
+    "solve_batch",
+    "solve_jit",
+    "split_z",
+]

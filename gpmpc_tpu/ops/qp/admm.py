@@ -1,0 +1,362 @@
+"""Batched OSQP-semantics ADMM QP solver in pure JAX.
+
+TPU-native replacement for the OSQP C solver used by the reference RTI loop
+(``/root/reference/src/mpc/osqp_rti.py:454-478,501-567``). Same operator
+splitting (Stellato et al. 2020), same knobs (σ, α over-relaxation, per-row ρ
+with equality boosting, Ruiz ``scaling`` iterations, eps_abs/eps_rel
+termination) — but everything is dense, fixed-shape, and vmappable, so
+thousands of MPC QPs solve in lockstep as one XLA program:
+
+    (P + σI + AᵀRA) x̃ᵏ⁺¹ = σxᵏ − q + Aᵀ(R zᵏ − yᵏ)
+    z̃ᵏ⁺¹ = A x̃ᵏ⁺¹
+    xᵏ⁺¹  = α x̃ᵏ⁺¹ + (1−α) xᵏ
+    zᵏ⁺¹  = Π_[l,u]( α z̃ᵏ⁺¹ + (1−α) zᵏ + R⁻¹ yᵏ )
+    yᵏ⁺¹  = yᵏ + R( α z̃ᵏ⁺¹ + (1−α) zᵏ − zᵏ⁺¹ )
+
+The KKT solve is a dense Cholesky of the (n×n) reduced matrix — for MPC
+horizons the matrix is a few-hundred square, which batches beautifully on
+the MXU. Early termination is emulated in lockstep by freezing converged
+lanes (the returned iterate equals the one OSQP would have stopped at).
+
+Design notes vs OSQP C:
+- ρ is updated on a *fixed* schedule (every ``check_interval`` iterations,
+  refactorizing each time) instead of OSQP's data-dependent trigger; this
+  keeps every batch lane on the same program.
+- primal/dual infeasibility certificates use the δx/δy tests on the same
+  fixed schedule.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from .ruiz import Scaling, ruiz_equilibrate
+from .types import DUAL_INFEASIBLE, MAX_ITER, PRIMAL_INFEASIBLE, SOLVED, QPData, QPSolution
+
+Array = jax.Array
+
+_RHO_MIN = 1e-6
+_RHO_MAX = 1e6
+_INF = 1e20  # treat |bound| above this as infinite
+
+
+@struct.dataclass
+class ADMMConfig:
+    """Solver settings; defaults mirror the reference OSQP settings
+    (``osqp_rti.py:54-60``) except max_iter, which defaults higher because
+    fixed-schedule lockstep iterations are nearly free on TPU."""
+
+    max_iter: int = struct.field(pytree_node=False, default=250)
+    check_interval: int = struct.field(pytree_node=False, default=25)
+    eps_abs: float = 1e-4
+    eps_rel: float = 1e-4
+    eps_infeas: float = 1e-6
+    sigma: float = 1e-6
+    alpha: float = 1.6
+    rho: float = 0.1
+    rho_eq_scale: float = 1e3
+    adaptive_rho: bool = struct.field(pytree_node=False, default=True)
+    scaling: int = struct.field(pytree_node=False, default=10)
+    # Active-set KKT polish at exit (OSQP `polish`; reference runs with it off
+    # for speed, ``osqp_rti.py:58`` — turn on for high-accuracy SCP/parity).
+    polish: bool = struct.field(pytree_node=False, default=False)
+    polish_delta: float = 1e-6
+    polish_refine_iters: int = struct.field(pytree_node=False, default=3)
+
+
+def _rho_vec(l: Array, u: Array, rho: Array) -> Array:
+    """Per-row ρ: equality rows boosted ×1e3, free rows dropped to ρ_min."""
+    eq = (u - l) <= 1e-9
+    free = (l <= -_INF) & (u >= _INF)
+    r = jnp.where(eq, rho * 1e3, rho)
+    r = jnp.where(free, _RHO_MIN, r)
+    return jnp.clip(r, _RHO_MIN, _RHO_MAX)
+
+
+def _factor(P: Array, A: Array, rho_v: Array, sigma: float) -> Array:
+    """Cholesky factor of M = P + σI + Aᵀ diag(ρ) A."""
+    n = P.shape[0]
+    M = P + sigma * jnp.eye(n, dtype=P.dtype) + (A.T * rho_v[None, :]) @ A
+    return jnp.linalg.cholesky(M)
+
+
+def _kkt_solve(L: Array, rhs: Array) -> Array:
+    y = jax.scipy.linalg.solve_triangular(L, rhs, lower=True)
+    return jax.scipy.linalg.solve_triangular(L.T, y, lower=False)
+
+
+def _polish(data: QPData, x: Array, y: Array, z: Array, cfg: "ADMMConfig"):
+    """Active-set KKT polish (OSQP §5.2): guess the active set from the ADMM
+    duals, solve the equality-constrained KKT system with static shapes by
+    masking inactive rows to ν_i = 0, and clean f32 error with iterative
+    refinement on the δ-regularized system.
+    """
+    P, q, A, l, u = data.P, data.q, data.A, data.l, data.u
+    n, m = data.n, data.m
+    dtype = P.dtype
+
+    # OSQP active-set guess: a bound is active when the slack is smaller than
+    # the (signed) dual pushing into it: lower iff z−l < −y, upper iff u−z < y.
+    eq = (u - l) <= 1e-9
+    act_low = ((z - l) < -y) | eq
+    act_high = ((u - z) < y) | eq
+    active = act_low | act_high
+    b = jnp.where(act_high & ~act_low, u, jnp.where(act_low & ~act_high, l, l))
+    b = jnp.where(active, b, 0.0)
+    af = active.astype(dtype)
+
+    # K = [[P+δI, (diag(a)A)ᵀ], [diag(a)A, -diag(1-a)-δ·diag(a)... ]]
+    Aa = af[:, None] * A
+    K = jnp.zeros((n + m, n + m), dtype)
+    K = K.at[:n, :n].set(P + cfg.polish_delta * jnp.eye(n, dtype=dtype))
+    K = K.at[:n, n:].set(Aa.T)
+    K = K.at[n:, :n].set(Aa)
+    K = K.at[n:, n:].set(jnp.diag(-(1.0 - af) - cfg.polish_delta * af))
+    rhs = jnp.concatenate([-q, b])
+
+    lu, piv = jax.scipy.linalg.lu_factor(K)
+    sol = jax.scipy.linalg.lu_solve((lu, piv), rhs)
+
+    # iterative refinement against the *unregularized* KKT operator
+    K0 = K.at[:n, :n].set(P).at[n:, n:].set(jnp.diag(-(1.0 - af)))
+
+    def refine(sol, _):
+        r = rhs - K0 @ sol
+        return sol + jax.scipy.linalg.lu_solve((lu, piv), r), None
+
+    sol, _ = jax.lax.scan(refine, sol, None, length=cfg.polish_refine_iters)
+
+    x_p = sol[:n]
+    y_p = jnp.where(active, sol[n:], 0.0)
+    z_p = jnp.clip(A @ x_p, l, u)
+    ok = jnp.all(jnp.isfinite(sol))
+    return (
+        jnp.where(ok, x_p, x),
+        jnp.where(ok, y_p, y),
+        jnp.where(ok, z_p, z),
+    )
+
+
+def solve(
+    data: QPData,
+    x0: Optional[Array] = None,
+    y0: Optional[Array] = None,
+    config: Optional[ADMMConfig] = None,
+    rho0: Optional[Array] = None,
+) -> QPSolution:
+    """Solve one QP (vmap over a leading batch axis of `data`/`x0`/`y0` for
+    many). Warm starts accept *unscaled* x0/y0 like ``osqp.warm_start``;
+    pass the previous solution's ``rho`` as ``rho0`` to keep the adapted
+    penalty across successive solves (OSQP workspace semantics).
+    """
+    cfg = config or ADMMConfig()
+    dtype = data.P.dtype
+    n, m = data.n, data.m
+
+    # -- scaling ------------------------------------------------------------
+    if cfg.scaling > 0:
+        sdata, scal = ruiz_equilibrate(data, cfg.scaling)
+    else:
+        sdata = data
+        scal = Scaling(
+            D=jnp.ones(n, dtype), E=jnp.ones(m, dtype), c=jnp.asarray(1.0, dtype)
+        )
+    P, q, A, l, u = sdata.P, sdata.q, sdata.A, sdata.l, sdata.u
+    D, E, c = scal.D, scal.E, scal.c
+    Dinv, Einv = 1.0 / D, 1.0 / E
+
+    x = jnp.zeros(n, dtype) if x0 is None else Dinv * x0
+    y = jnp.zeros(m, dtype) if y0 is None else (c / E) * y0
+    z = A @ x
+
+    rho_init = jnp.asarray(cfg.rho if rho0 is None else rho0, dtype)
+    rho_v = _rho_vec(l, u, rho_init)
+    L = _factor(P, A, rho_v, cfg.sigma)
+
+    q_unsc_norm = jnp.max(jnp.abs(Dinv * q)) / c
+
+    def residuals(x, z, y):
+        """Unscaled residuals and their relative normalizers."""
+        Ax = A @ x
+        r_prim = jnp.max(jnp.abs(Einv * (Ax - z)))
+        Px = P @ x
+        ATy = A.T @ y
+        r_dual = jnp.max(jnp.abs(Dinv * (Px + q + ATy))) / c
+        prim_norm = jnp.maximum(jnp.max(jnp.abs(Einv * Ax)), jnp.max(jnp.abs(Einv * z)))
+        dual_norm = jnp.maximum(
+            jnp.maximum(jnp.max(jnp.abs(Dinv * Px)), jnp.max(jnp.abs(Dinv * ATy))) / c,
+            q_unsc_norm,
+        )
+        return r_prim, r_dual, prim_norm, dual_norm
+
+    def one_iter(carry):
+        x, z, y, rho_v, L = carry
+        rhs = cfg.sigma * x - q + A.T @ (rho_v * z - y)
+        x_t = _kkt_solve(L, rhs)
+        z_t = A @ x_t
+        x_new = cfg.alpha * x_t + (1.0 - cfg.alpha) * x
+        z_relax = cfg.alpha * z_t + (1.0 - cfg.alpha) * z
+        z_new = jnp.clip(z_relax + y / rho_v, l, u)
+        y_new = y + rho_v * (z_relax - z_new)
+        return x_new, z_new, y_new
+
+    n_chunks = max(cfg.max_iter // cfg.check_interval, 1)
+
+    def chunk(state, _):
+        x, z, y, rho_v, L, rho, it, done, status = state
+        x_prev, y_prev = x, y
+
+        def body(_, c):
+            xx, zz, yy = one_iter((c[0], c[1], c[2], rho_v, L))
+            return (xx, zz, yy)
+
+        x_n, z_n, y_n = jax.lax.fori_loop(0, cfg.check_interval, body, (x, z, y))
+        # freeze converged/infeasible lanes
+        keep = ~done
+        x = jnp.where(keep, x_n, x)
+        z = jnp.where(keep, z_n, z)
+        y = jnp.where(keep, y_n, y)
+        it = it + jnp.where(keep, cfg.check_interval, 0)
+
+        r_prim, r_dual, prim_norm, dual_norm = residuals(x, z, y)
+        eps_prim = cfg.eps_abs + cfg.eps_rel * prim_norm
+        eps_dual = cfg.eps_abs + cfg.eps_rel * dual_norm
+        converged = (r_prim <= eps_prim) & (r_dual <= eps_dual)
+
+        # infeasibility certificates on the unscaled δ sequences; with scaled
+        # diffs dy_s = ȳ−ȳ_prev, dx_s = x̄−x̄_prev the unscaled quantities are
+        #   δy = (E/c)·dy_s,  Aᵀδy = D⁻¹Āᵀdy_s/c,  δx = D·dx_s,
+        #   Pδx = D⁻¹P̄dx_s/c,  qᵀδx = q̄·dx_s/c,  Aδx = E⁻¹Ādx_s
+        dy_s = y - y_prev
+        dy = (E / c) * dy_s
+        dy_norm = jnp.max(jnp.abs(dy))
+        dx_s = x - x_prev
+        dx = D * dx_s
+        dx_norm = jnp.max(jnp.abs(dx))
+        uu = jnp.where(u >= _INF, 0.0, Einv * u)
+        ll = jnp.where(l <= -_INF, 0.0, Einv * l)
+        prim_cert = (
+            (dy_norm > 1e-12)
+            & (jnp.max(jnp.abs(Dinv * (A.T @ dy_s))) / c <= cfg.eps_infeas * dy_norm)
+            & ((jnp.dot(uu, jnp.maximum(dy, 0)) + jnp.dot(ll, jnp.minimum(dy, 0)))
+               <= cfg.eps_infeas * dy_norm)
+        )
+        Adx = Einv * (A @ dx_s)
+        dual_cert = (
+            (dx_norm > 1e-12)
+            & (jnp.max(jnp.abs(Dinv * (P @ dx_s))) / c <= cfg.eps_infeas * dx_norm)
+            & (jnp.dot(q, dx_s) / c <= cfg.eps_infeas * dx_norm)
+            & (jnp.all(jnp.where(u >= _INF, True, Adx <= cfg.eps_infeas * dx_norm)))
+            & (jnp.all(jnp.where(l <= -_INF, True, Adx >= -cfg.eps_infeas * dx_norm)))
+        )
+
+        status = jnp.where(done, status, jnp.where(
+            converged,
+            SOLVED,
+            jnp.where(prim_cert, PRIMAL_INFEASIBLE,
+                      jnp.where(dual_cert, DUAL_INFEASIBLE, MAX_ITER)),
+        ))
+        done = done | converged | (~done & (prim_cert | dual_cert))
+
+        # adaptive ρ on the fixed schedule (scaled-residual ratio, OSQP rule)
+        if cfg.adaptive_rho:
+            ratio = jnp.sqrt(
+                (r_prim / jnp.maximum(prim_norm, 1e-10))
+                / jnp.maximum(r_dual / jnp.maximum(dual_norm, 1e-10), 1e-10)
+            )
+            rho_new = jnp.clip(rho * jnp.clip(ratio, 0.1, 10.0), _RHO_MIN, _RHO_MAX)
+            upd = (~done) & ((ratio > 5.0) | (ratio < 0.2))
+            rho = jnp.where(upd, rho_new, rho)
+            rho_v_new = _rho_vec(l, u, rho)
+            # y must be rescaled is not needed (y independent of rho); refactor
+            rho_v = jnp.where(upd, rho_v_new, rho_v)
+            L = jnp.where(upd, _factor(P, A, rho_v_new, cfg.sigma), L)
+
+        return (x, z, y, rho_v, L, rho, it, done, status), (r_prim, r_dual)
+
+    status0 = jnp.asarray(MAX_ITER, jnp.int32)
+    init = (x, z, y, rho_v, L, rho_init, jnp.asarray(0, jnp.int32),
+            jnp.asarray(False), status0)
+    (x, z, y, rho_v, L, rho, it, done, status), (r_prims, r_duals) = jax.lax.scan(
+        chunk, init, None, length=n_chunks
+    )
+
+    r_prim, r_dual, _, _ = residuals(x, z, y)
+
+    # unscale
+    x_u = D * x
+    y_u = (E * y) / c
+    z_u = Einv * z
+
+    if cfg.polish:
+        x_p, y_p, z_p = _polish(data, x_u, y_u, z_u, cfg)
+        # accept the polished point only if it improves the KKT error
+        def kkt_err(xx, yy, zz):
+            r1 = jnp.max(jnp.abs(data.A @ xx - zz))
+            r2 = jnp.max(jnp.abs(data.P @ xx + data.q + data.A.T @ yy))
+            viol = jnp.maximum(
+                jnp.max(jnp.maximum(data.A @ xx - data.u, 0.0)),
+                jnp.max(jnp.maximum(data.l - data.A @ xx, 0.0)),
+            )
+            return jnp.maximum(jnp.maximum(r1, r2), viol)
+
+        better = kkt_err(x_p, y_p, z_p) < kkt_err(x_u, y_u, z_u)
+        x_u = jnp.where(better, x_p, x_u)
+        y_u = jnp.where(better, y_p, y_u)
+        z_u = jnp.where(better, z_p, z_u)
+        r_prim = jnp.where(
+            better, jnp.max(jnp.abs(data.A @ x_u - z_u)), r_prim
+        )
+        r_dual = jnp.where(
+            better,
+            jnp.max(jnp.abs(data.P @ x_u + data.q + data.A.T @ y_u)),
+            r_dual,
+        )
+        # re-run the termination test on the polished point so a successful
+        # polish upgrades MAX_ITER → SOLVED (OSQP reports `solved` likewise)
+        Ax_u = data.A @ x_u
+        pn = jnp.maximum(jnp.max(jnp.abs(Ax_u)), jnp.max(jnp.abs(z_u)))
+        dn = jnp.maximum(
+            jnp.maximum(jnp.max(jnp.abs(data.P @ x_u)), jnp.max(jnp.abs(data.A.T @ y_u))),
+            jnp.max(jnp.abs(data.q)),
+        )
+        now_ok = (r_prim <= cfg.eps_abs + cfg.eps_rel * pn) & (
+            r_dual <= cfg.eps_abs + cfg.eps_rel * dn
+        )
+        status = jnp.where((status == MAX_ITER) & now_ok, SOLVED, status)
+    obj = 0.5 * x_u @ (data.P @ x_u) + data.q @ x_u
+
+    return QPSolution(
+        x=x_u, y=y_u, z=z_u, obj=obj,
+        pri_res=r_prim, dua_res=r_dual,
+        iterations=it, status=status, rho=rho,
+    )
+
+
+@partial(jax.jit, static_argnames=("config",))
+def solve_jit(data: QPData, x0=None, y0=None, config: Optional[ADMMConfig] = None,
+              rho0=None):
+    return solve(data, x0, y0, config, rho0)
+
+
+def solve_batch(
+    data: QPData,
+    x0: Optional[Array] = None,
+    y0: Optional[Array] = None,
+    config: Optional[ADMMConfig] = None,
+    rho0: Optional[Array] = None,
+) -> QPSolution:
+    """Solve a batch of QPs stacked on the leading axis (lockstep vmap)."""
+    cfg = config or ADMMConfig()
+    if x0 is None:
+        x0 = jnp.zeros(data.q.shape, data.q.dtype)
+    if y0 is None:
+        y0 = jnp.zeros(data.l.shape, data.l.dtype)
+    if rho0 is None:
+        rho0 = jnp.full(data.l.shape[0], cfg.rho, data.l.dtype)
+    return jax.vmap(lambda d, xx, yy, rr: solve(d, xx, yy, cfg, rr))(data, x0, y0, rho0)

@@ -1,0 +1,245 @@
+"""QP solver tests: KKT certificates, oracle parity (scipy f64), batching,
+infeasibility detection, and the MPC QP structure.
+
+The north-star parity check (u0 vs the OSQP-settings reference to 1e-3,
+BASELINE.md) is encoded here as agreement with an f64 scipy solution of the
+same QP.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import scipy.optimize
+
+from gpmpc_tpu.ops.qp import (
+    ADMMConfig,
+    MAX_ITER,
+    PRIMAL_INFEASIBLE,
+    SOLVED,
+    QPData,
+    build_mpc_qp,
+    join_z,
+    solve,
+    solve_batch,
+    split_z,
+)
+
+INF = 1e30
+
+
+def scipy_qp_oracle(P, q, A, l, u, tol=1e-9):
+    """f64 oracle: solve min ½xPx+qx s.t. l≤Ax≤u via SLSQP from a few starts."""
+    P, q, A, l, u = (np.asarray(a, np.float64) for a in (P, q, A, l, u))
+    n = q.shape[0]
+    cons = []
+    eq = np.isfinite(l) & np.isfinite(u) & (u - l < 1e-12)
+    if eq.any():
+        cons.append({"type": "eq", "fun": lambda x: A[eq] @ x - l[eq],
+                     "jac": lambda x: A[eq]})
+    lo = ~eq & (l > -1e20)
+    if lo.any():
+        cons.append({"type": "ineq", "fun": lambda x: A[lo] @ x - l[lo],
+                     "jac": lambda x: A[lo]})
+    hi = ~eq & (u < 1e20)
+    if hi.any():
+        cons.append({"type": "ineq", "fun": lambda x: u[hi] - A[hi] @ x,
+                     "jac": lambda x: -A[hi]})
+    best = None
+    for seed in range(3):
+        x0 = np.random.default_rng(seed).normal(size=n) * 0.1
+        r = scipy.optimize.minimize(
+            lambda x: 0.5 * x @ P @ x + q @ x,
+            x0,
+            jac=lambda x: P @ x + q,
+            constraints=cons,
+            method="SLSQP",
+            options={"maxiter": 500, "ftol": tol},
+        )
+        if best is None or r.fun < best.fun:
+            best = r
+    return best.x
+
+
+def check_kkt(data: QPData, sol, tol=2e-3):
+    """Direct optimality certificate: primal feasibility, stationarity,
+    complementary slackness of the returned (x, y)."""
+    P, q, A, l, u = (np.asarray(a, np.float64) for a in
+                     (data.P, data.q, data.A, data.l, data.u))
+    x, y = np.asarray(sol.x, np.float64), np.asarray(sol.y, np.float64)
+    Ax = A @ x
+    scale = max(1.0, np.abs(Ax).max())
+    assert (Ax - u).max() < tol * scale, "primal upper feasibility"
+    assert (l - Ax).max() < tol * scale, "primal lower feasibility"
+    stat = P @ x + q + A.T @ y
+    sscale = max(1.0, np.abs(P @ x).max(), np.abs(q).max())
+    assert np.abs(stat).max() < tol * sscale, f"stationarity {np.abs(stat).max()}"
+    # complementarity: y⁺ pairs with u-active rows, y⁻ with l-active rows
+    comp = np.maximum(y, 0) * np.clip(u - Ax, 0, 1e10) - np.minimum(y, 0) * np.clip(
+        Ax - l, 0, 1e10
+    )
+    assert np.abs(comp).max() < 10 * tol * scale, "complementary slackness"
+
+
+def random_qp(rng, n=12, m=18, eq_rows=4):
+    G = rng.normal(size=(n, n))
+    P = G @ G.T + 0.1 * np.eye(n)
+    q = rng.normal(size=n)
+    A = rng.normal(size=(m, n))
+    b = rng.normal(size=eq_rows) * 0.3
+    l = np.concatenate([b, -np.abs(rng.normal(size=m - eq_rows)) - 0.5])
+    u = np.concatenate([b, np.abs(rng.normal(size=m - eq_rows)) + 0.5])
+    return QPData(
+        P=jnp.asarray(P, jnp.float32),
+        q=jnp.asarray(q, jnp.float32),
+        A=jnp.asarray(A, jnp.float32),
+        l=jnp.asarray(l, jnp.float32),
+        u=jnp.asarray(u, jnp.float32),
+    )
+
+
+class TestADMM:
+    def test_unconstrained_equals_newton(self, rng):
+        data = random_qp(rng, n=8, m=8, eq_rows=0)
+        data = data.replace(l=jnp.full(8, -INF), u=jnp.full(8, INF))
+        sol = solve(data)
+        x_star = np.linalg.solve(np.asarray(data.P, np.float64), -np.asarray(data.q, np.float64))
+        np.testing.assert_allclose(sol.x, x_star, atol=2e-3)
+
+    def test_equality_constrained_kkt_solution(self, rng):
+        n, me = 10, 4
+        data = random_qp(rng, n=n, m=me, eq_rows=me)
+        sol = solve(data, config=ADMMConfig(max_iter=500))
+        # analytic KKT solve in f64
+        P = np.asarray(data.P, np.float64)
+        A = np.asarray(data.A, np.float64)
+        K = np.block([[P, A.T], [A, np.zeros((me, me))]])
+        rhs = np.concatenate([-np.asarray(data.q, np.float64), np.asarray(data.l, np.float64)])
+        xy = np.linalg.solve(K, rhs)
+        np.testing.assert_allclose(sol.x, xy[:n], atol=3e-3)
+        assert int(sol.status) == SOLVED
+
+    @pytest.mark.parametrize("seed", [0, 1, 2])
+    def test_random_qp_matches_scipy_oracle(self, seed):
+        rng = np.random.default_rng(seed)
+        data = random_qp(rng)
+        sol = solve(data, config=ADMMConfig(max_iter=1000, polish=True))
+        x_ref = scipy_qp_oracle(data.P, data.q, data.A, data.l, data.u)
+        np.testing.assert_allclose(sol.x, x_ref, atol=1e-3)
+        check_kkt(data, sol)
+
+    def test_box_qp_projection(self, rng):
+        """min ½‖x−a‖² s.t. 0 ≤ x ≤ 1 is clip(a, 0, 1)."""
+        n = 6
+        a = rng.normal(size=n) * 2
+        data = QPData(
+            P=jnp.eye(n),
+            q=jnp.asarray(-a, jnp.float32),
+            A=jnp.eye(n),
+            l=jnp.zeros(n),
+            u=jnp.ones(n),
+        )
+        sol = solve(data)
+        np.testing.assert_allclose(sol.x, np.clip(a, 0, 1), atol=1e-3)
+
+    def test_warm_start_converges_faster(self, rng):
+        data = random_qp(rng)
+        cfg = ADMMConfig(max_iter=1000, eps_abs=1e-5, eps_rel=1e-5)
+        cold = solve(data, config=cfg)
+        warm = solve(data, x0=cold.x, y0=cold.y, config=cfg, rho0=cold.rho)
+        assert int(warm.iterations) <= int(cold.iterations)
+
+    def test_primal_infeasible_detected(self):
+        # x ≥ 1 and x ≤ −1 simultaneously
+        data = QPData(
+            P=jnp.eye(1),
+            q=jnp.zeros(1),
+            A=jnp.array([[1.0], [1.0]]),
+            l=jnp.array([1.0, -INF]),
+            u=jnp.array([INF, -1.0]),
+        )
+        sol = solve(data, config=ADMMConfig(max_iter=1000))
+        assert int(sol.status) in (PRIMAL_INFEASIBLE, MAX_ITER)
+        assert int(sol.status) != SOLVED
+
+    def test_batch_matches_single(self, rng):
+        datas = [random_qp(np.random.default_rng(s)) for s in range(4)]
+        batch = jax.tree.map(lambda *xs: jnp.stack(xs), *datas)
+        cfg = ADMMConfig(max_iter=400)
+        bsol = solve_batch(batch, config=cfg)
+        for i, d in enumerate(datas):
+            s = solve(d, config=cfg)
+            np.testing.assert_allclose(bsol.x[i], s.x, atol=1e-4)
+
+    def test_jit_and_grad_safe(self, rng):
+        data = random_qp(rng)
+        f = jax.jit(lambda d: solve(d).x)
+        x1 = f(data)
+        x2 = f(data)
+        np.testing.assert_allclose(x1, x2, atol=1e-6)
+
+
+class TestMPCQP:
+    def _double_integrator_qp(self, N=10, dt=0.1):
+        """1-D double integrator: x=[p,v], u=a; drive to origin."""
+        A = jnp.array([[1.0, dt], [0.0, 1.0]])
+        B = jnp.array([[0.5 * dt * dt], [dt]])
+        Aks = jnp.tile(A, (N, 1, 1))
+        Bks = jnp.tile(B, (N, 1, 1))
+        cks = jnp.zeros((N, 2))
+        x0 = jnp.array([1.0, 0.0])
+        Q = jnp.diag(jnp.array([10.0, 1.0]))
+        R = jnp.eye(1) * 0.1
+        Qf = Q * 10
+        x_ref = jnp.zeros((N + 1, 2))
+        data = build_mpc_qp(
+            Aks, Bks, cks, x0, Q, R, Qf, x_ref,
+            x_min=jnp.full(2, -INF), x_max=jnp.full(2, INF),
+            u_min=jnp.array([-2.0]), u_max=jnp.array([2.0]),
+        )
+        return data, (N, 2, 1), x0, A, B
+
+    def test_shapes_and_roundtrip(self):
+        data, (N, n_x, n_u), *_ = self._double_integrator_qp()
+        nz = (N + 1) * n_x + N * n_u
+        assert data.P.shape == (nz, nz)
+        assert data.A.shape == ((N + 1) * n_x + nz, nz)
+        X = jnp.arange((N + 1) * n_x, dtype=jnp.float32).reshape(N + 1, n_x)
+        U = -jnp.arange(N * n_u, dtype=jnp.float32).reshape(N, n_u)
+        X2, U2 = split_z(join_z(X, U), N, n_x, n_u)
+        np.testing.assert_array_equal(X, X2)
+        np.testing.assert_array_equal(U, U2)
+
+    def test_double_integrator_solution(self):
+        data, (N, n_x, n_u), x0, A, B = self._double_integrator_qp()
+        sol = solve(data, config=ADMMConfig(max_iter=1000, polish=True))
+        assert int(sol.status) == SOLVED
+        X, U = split_z(sol.x, N, n_x, n_u)
+        # initial condition and dynamics feasibility
+        np.testing.assert_allclose(X[0], x0, atol=1e-3)
+        for k in range(N):
+            np.testing.assert_allclose(X[k + 1], A @ X[k] + B @ U[k], atol=2e-3)
+        # drives toward origin
+        assert abs(float(X[-1, 0])) < 0.3  # bang-bang limit: can close at most ~0.75 of the gap
+        check_kkt(data, sol)
+
+    def test_matches_scipy_oracle(self):
+        data, (N, n_x, n_u), *_ = self._double_integrator_qp(N=5)
+        sol = solve(data, config=ADMMConfig(max_iter=2000, polish=True))
+        x_ref = scipy_qp_oracle(data.P, data.q, data.A, data.l, data.u)
+        Xr, Ur = split_z(jnp.asarray(x_ref, jnp.float32), N, n_x, n_u)
+        X, U = split_z(sol.x, N, n_x, n_u)
+        np.testing.assert_allclose(U, Ur, atol=1e-3)
+
+    def test_control_bounds_active(self):
+        data, (N, n_x, n_u), *_ = self._double_integrator_qp()
+        # start far away → saturating control
+        data2 = data.replace(
+            l=data.l.at[:2].set(jnp.array([5.0, 0.0])),
+            u=data.u.at[:2].set(jnp.array([5.0, 0.0])),
+        )
+        sol = solve(data2, config=ADMMConfig(max_iter=1000))
+        _, U = split_z(sol.x, N, n_x, n_u)
+        assert float(jnp.min(U)) >= -2.0 - 1e-3
+        assert float(jnp.max(U)) <= 2.0 + 1e-3
+        assert float(jnp.min(U)) < -1.9  # actually saturates
