@@ -1,0 +1,92 @@
+#!/usr/bin/env python
+"""Benchmark: MPC solves/sec/chip at N=20 and per-scenario control-loop latency.
+
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
+
+Baseline (BASELINE.md): the reference's 50 Hz budget — one OSQP RTI solve per
+20 ms on CPU, i.e. 50 solves/sec. ``vs_baseline`` is our solves/sec/chip over
+that 50/s figure. Each timed unit is the full RTI control cycle (AD
+linearization along the horizon → dense QP build → ADMM+polish → extract →
+shift) plus the plant step, batched over scenarios in lockstep — the same
+work the reference does per ``OSQPRTIMPC.step`` (osqp_rti.py:569-599) plus
+the dynamics propagation.
+
+Timing notes: on the tunneled TPU backend ``block_until_ready`` does not
+reliably block, so timing is anchored on fetching a scalar reduction of each
+window's output (device_get forces completion); windows are long (STEPS
+cycles per dispatch) to amortize the ~40 ms relay round trip.
+"""
+
+import json
+import sys
+import time
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from gpmpc_tpu.dynamics import Rocket3DoFParams, rocket3dof as r3
+    from gpmpc_tpu.mpc import RTIConfig, rti_init, rti_step
+
+    N = 20
+    BATCH = int(sys.argv[1]) if len(sys.argv) > 1 else 1024
+    STEPS = int(sys.argv[2]) if len(sys.argv) > 2 else 25  # cycles per dispatch
+    N_WINDOWS = 4
+
+    p = Rocket3DoFParams()
+    cfg = RTIConfig(N=N)
+    F = lambda x, u: r3.step(p, x, u, cfg.dt)
+    xT = jnp.zeros(7).at[0].set(2.0)
+
+    x0s = jnp.tile(jnp.array([2.0, 30.0, 0.0, 0.0, -3.0, 0.0, 0.0]), (BATCH, 1))
+    x0s = x0s.at[:, 1].add(jnp.linspace(0.0, 5.0, BATCH))
+    states = jax.vmap(lambda x: rti_init(cfg, x, xT))(x0s)
+
+    @jax.jit
+    def window(states, xs):
+        def body(carry, _):
+            states, xs = carry
+            sols, states = jax.vmap(lambda s, x: rti_step(F, cfg, s, x))(states, xs)
+            xs = jax.vmap(lambda x, u: r3.step(p, x, u, cfg.dt))(xs, sols.u0)
+            return (states, xs), None
+
+        (states, xs), _ = jax.lax.scan(body, (states, xs), None, length=STEPS)
+        # scalar summary anchors the timing fetch
+        return states, xs, jnp.mean(xs[:, 1])
+
+    # compile + warmup (fetch forces completion)
+    s, x, alt = window(states, x0s)
+    _ = float(jax.device_get(alt))
+
+    t0 = time.time()
+    for _ in range(N_WINDOWS):
+        s, x, alt = window(s, x)
+        _ = float(jax.device_get(alt))  # force each window to finish
+    elapsed = time.time() - t0
+
+    total_solves = BATCH * STEPS * N_WINDOWS
+    solves_per_sec = total_solves / elapsed
+    cycle_ms = elapsed / (STEPS * N_WINDOWS) * 1e3
+
+    n_chips = len(jax.devices())
+    solves_per_sec_chip = solves_per_sec / n_chips
+
+    result = {
+        "metric": f"RTI-MPC solves/sec/chip (N={N}, batch={BATCH}, full cycle incl. linearization+plant)",
+        "value": round(solves_per_sec_chip, 1),
+        "unit": "solves/s/chip",
+        "vs_baseline": round(solves_per_sec_chip / 50.0, 2),
+        "detail": {
+            "devices": [str(d) for d in jax.devices()],
+            "batch": BATCH,
+            "cycle_wall_ms": round(cycle_ms, 2),
+            "budget_ms": 20.0,
+            "meets_50hz_in_lockstep": cycle_ms < 20.0,
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

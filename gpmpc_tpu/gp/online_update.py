@@ -1,0 +1,160 @@
+"""Online GP updating: novelty-gated data buffers, update cadence, residual
+collection.
+
+TPU-native counterpart of ``/root/reference/src/gp/online_update.py``: the
+``DataBuffer`` deque with novelty/min-distance admission (``:75-229``) becomes
+a fixed-capacity masked ring store; ``OnlineGPUpdater`` keeps the same
+cadence semantics (``update_interval=10``, ``refit_interval=100``,
+``:232-425``); ``ResidualCollector`` computes d = (x_actual − f_nom(x,u))/dt
+on the velocity/rate slices (``:559-685``). Everything is pure state-passing
+so the whole learning loop lives inside ``lax.scan``.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+Array = jax.Array
+
+
+@struct.dataclass
+class OnlineUpdateConfig:
+    """(mirrors ``OnlineUpdateConfig``, ``online_update.py:40-72``)."""
+
+    capacity: int = struct.field(pytree_node=False, default=512)
+    update_interval: int = 10
+    refit_interval: int = 100
+    min_distance: float = 1e-3
+    novelty_threshold: float = 0.0  # 0 ⇒ accept all (distance gate still applies)
+
+
+@struct.dataclass
+class DataBuffer:
+    """Masked ring buffer with min-distance/novelty admission
+    (``online_update.py:75-229``)."""
+
+    X: Array  # (cap, d)
+    Y: Array  # (cap, n_out)
+    head: Array
+    count: Array
+    n_rejected: Array
+
+    @classmethod
+    def create(cls, capacity: int, d: int, n_out: int, dtype=jnp.float32):
+        return cls(
+            X=jnp.zeros((capacity, d), dtype),
+            Y=jnp.zeros((capacity, n_out), dtype),
+            head=jnp.asarray(0, jnp.int32),
+            count=jnp.asarray(0, jnp.int32),
+            n_rejected=jnp.asarray(0, jnp.int32),
+        )
+
+    @property
+    def capacity(self) -> int:
+        return self.X.shape[0]
+
+    @property
+    def mask(self) -> Array:
+        return jnp.arange(self.capacity) < self.count
+
+    def min_distance_to(self, x: Array) -> Array:
+        d2 = jnp.sum((self.X - x[None]) ** 2, axis=1)
+        d2 = jnp.where(self.mask, d2, jnp.inf)
+        return jnp.sqrt(jnp.min(d2))
+
+    def add(self, x: Array, y: Array, accept: Array = None) -> "DataBuffer":
+        """Conditionally insert: rejected points don't move the head."""
+        ok = jnp.asarray(True) if accept is None else accept
+        cap = self.capacity
+        X = jnp.where(ok, self.X.at[self.head].set(x).reshape(self.X.shape), self.X)
+        Y = jnp.where(ok, self.Y.at[self.head].set(y).reshape(self.Y.shape), self.Y)
+        return self.replace(
+            X=X,
+            Y=Y,
+            head=jnp.where(ok, (self.head + 1) % cap, self.head),
+            count=jnp.where(ok, jnp.minimum(self.count + 1, cap), self.count),
+            n_rejected=self.n_rejected + (~ok).astype(jnp.int32),
+        )
+
+    def add_if_novel(self, x: Array, y: Array, min_distance: Array) -> "DataBuffer":
+        accept = self.min_distance_to(x) > min_distance
+        return self.add(x, y, accept)
+
+    def get_statistics(self) -> dict:
+        return {
+            "count": self.count,
+            "capacity": self.capacity,
+            "n_rejected": self.n_rejected,
+            "fill_fraction": self.count / self.capacity,
+        }
+
+
+@struct.dataclass
+class OnlineGPUpdater:
+    """Cadence state machine: every observation goes through the novelty
+    gate into the buffer; every ``update_interval`` accepted points trigger a
+    factor refresh, every ``refit_interval`` a full refit flag is raised for
+    the host to act on (``online_update.py:232-425``)."""
+
+    config: OnlineUpdateConfig = struct.field(pytree_node=False)
+    buffer: DataBuffer
+    n_since_update: Array
+    n_since_refit: Array
+    n_updates: Array
+
+    @classmethod
+    def create(cls, config: OnlineUpdateConfig, d: int, n_out: int):
+        return cls(
+            config=config,
+            buffer=DataBuffer.create(config.capacity, d, n_out),
+            n_since_update=jnp.asarray(0, jnp.int32),
+            n_since_refit=jnp.asarray(0, jnp.int32),
+            n_updates=jnp.asarray(0, jnp.int32),
+        )
+
+    def observe(self, x: Array, y: Array) -> Tuple["OnlineGPUpdater", Array, Array]:
+        """Returns (new_state, do_update, do_refit) flags for this step."""
+        buf = self.buffer.add_if_novel(x, y, self.config.min_distance)
+        accepted = buf.count > self.buffer.count
+        n_u = self.n_since_update + accepted.astype(jnp.int32)
+        n_r = self.n_since_refit + accepted.astype(jnp.int32)
+        do_update = n_u >= self.config.update_interval
+        do_refit = n_r >= self.config.refit_interval
+        new = self.replace(
+            buffer=buf,
+            n_since_update=jnp.where(do_update, 0, n_u),
+            n_since_refit=jnp.where(do_refit, 0, n_r),
+            n_updates=self.n_updates + do_update.astype(jnp.int32),
+        )
+        return new, do_update, do_refit
+
+
+# reference exposes a structured variant wrapping the 6-output GP
+OnlineStructuredGPUpdater = OnlineGPUpdater
+
+
+@struct.dataclass
+class ResidualCollector:
+    """d = (x_actual − f_nom(x, u)) / dt restricted to the learned slices
+    (velocity [4:7] and, for 14-state, rate [11:14]) —
+    ``online_update.py:559-685``."""
+
+    dt: float = 0.1
+
+    def residual(self, step_fn: Callable, x: Array, u: Array, x_actual: Array) -> Array:
+        x_pred = step_fn(x, u)
+        err = (x_actual - x_pred) / self.dt
+        if x.shape[-1] >= 14:
+            return jnp.concatenate([err[..., 4:7], err[..., 11:14]], axis=-1)
+        return err[..., 4:7]
+
+    def collect_batch(
+        self, step_fn: Callable, X: Array, U: Array, X_next: Array
+    ) -> Array:
+        return jax.vmap(lambda x, u, xn: self.residual(step_fn, x, u, xn))(
+            X, U, X_next
+        )

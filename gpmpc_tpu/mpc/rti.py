@@ -1,0 +1,284 @@
+"""Real-Time-Iteration MPC on the batched ADMM solver — the performance path.
+
+TPU-native counterpart of the reference's OSQP RTI controller
+(``/root/reference/src/mpc/osqp_rti.py``) and the Diehl RTI scheme
+(``rti_mpc.py``): one linearize→QP→shift cycle per control step, with
+warm starting from the shifted previous solution and fallback to it when the
+QP fails (``osqp_rti.py:521-552``).
+
+Differences by design (SURVEY.md §7):
+- Linearization is exact AD of the discrete step (vmapped over the horizon)
+  instead of finite differences (``osqp_rti.py:374-401``) or hand-derived
+  approximate Jacobians (``:656-710``).
+- The whole step — linearize, build QP, ADMM iterations, extract, shift — is
+  one jitted pure function of (params, state, x); ``vmap`` runs thousands of
+  scenarios in lockstep, ``lax.scan`` runs the closed loop on-device.
+- The prepare/feedback phase split (``osqp_rti.py:480-567``) collapses into
+  one fused program; the solver's adapted ρ and duals are carried in the
+  controller state (OSQP workspace semantics).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from ..dynamics.linearize import trajectory_jacobians
+from ..ops.qp import ADMMConfig, SOLVED, build_mpc_qp, join_z, solve, split_z
+
+Array = jax.Array
+
+
+@struct.dataclass
+class RTIConfig:
+    """RTI settings (defaults mirror ``OSQPRTIConfig``, ``osqp_rti.py:45-71``,
+    and its 3-DoF cost/bound choices ``:168-201``)."""
+
+    N: int = struct.field(pytree_node=False, default=15)
+    dt: float = 0.1
+    n_x: int = struct.field(pytree_node=False, default=7)
+    n_u: int = struct.field(pytree_node=False, default=3)
+
+    Q: Array = struct.field(
+        default_factory=lambda: jnp.diag(
+            jnp.array([0.0, 10.0, 10.0, 10.0, 1.0, 1.0, 1.0])
+        )
+    )
+    R: Array = struct.field(default_factory=lambda: jnp.eye(3) * 0.01)
+    Qf: Array = struct.field(
+        default_factory=lambda: jnp.diag(
+            jnp.array([0.0, 10.0, 10.0, 10.0, 1.0, 1.0, 1.0]) * 10.0
+        )
+    )
+    x_min: Array = struct.field(
+        default_factory=lambda: jnp.array([-1e20, -100.0, -100.0, -100.0, -50.0, -50.0, -50.0])
+    )
+    x_max: Array = struct.field(
+        default_factory=lambda: jnp.array([1e20, 500.0, 100.0, 100.0, 50.0, 50.0, 50.0])
+    )
+    u_min: Array = struct.field(default_factory=lambda: jnp.array([0.3, -5.0, -5.0]))
+    u_max: Array = struct.field(default_factory=lambda: jnp.array([5.0, 5.0, 5.0]))
+
+    # polish on: the active-set KKT refit is what reaches f32-floor duals on
+    # the badly-scaled landing QP (mass column is cost-free), and its one LU
+    # per step is cheap relative to the ADMM chunk on the MXU
+    admm: ADMMConfig = struct.field(
+        default_factory=lambda: ADMMConfig(max_iter=100, polish=True)
+    )
+    warm_start_duals: bool = struct.field(pytree_node=False, default=True)
+
+
+@struct.dataclass
+class RTIState:
+    """Controller state carried across control steps (the analogue of the
+    OSQP workspace + linearization/warm-start members, ``osqp_rti.py:150-166``)."""
+
+    X_lin: Array  # (N+1, n_x) linearization trajectory
+    U_lin: Array  # (N, n_u)
+    X_prev: Array  # shifted warm start
+    U_prev: Array
+    y_prev: Array  # dual warm start
+    rho: Array  # adapted ADMM penalty
+    x_ref: Array  # (N+1, n_x) reference
+
+
+class RTISolution(NamedTuple):
+    """Per-step output (mirrors ``OSQPRTISolution``, ``osqp_rti.py:74-87``)."""
+
+    u0: Array
+    X_opt: Array
+    U_opt: Array
+    cost: Array
+    iterations: Array
+    success: Array
+
+
+def rti_init(
+    config: RTIConfig,
+    x0: Array,
+    x_target: Array,
+    X_init: Optional[Array] = None,
+    U_init: Optional[Array] = None,
+    u_hover: Optional[Array] = None,
+) -> RTIState:
+    """Initialize with a linear state interpolation and hover thrust guess
+    (``osqp_rti.py:403-452``)."""
+    N = config.N
+    alphas = jnp.linspace(0.0, 1.0, N + 1)[:, None]
+    X_lin = (1 - alphas) * x0[None, :] + alphas * x_target[None, :] if X_init is None else X_init
+    if U_init is None:
+        if u_hover is None:
+            u_hover = jnp.zeros(config.n_u).at[0].set(x0[0])  # m·g in normalized units
+        U_lin = jnp.tile(u_hover, (N, 1))
+    else:
+        U_lin = U_init
+    # total constraint rows = eq rows (N+1)·n_x + n_vars bound rows
+    n_vars = (N + 1) * config.n_x + N * config.n_u
+    m = (N + 1) * config.n_x + n_vars
+    return RTIState(
+        X_lin=X_lin,
+        U_lin=U_lin,
+        X_prev=X_lin,
+        U_prev=U_lin,
+        y_prev=jnp.zeros(m, X_lin.dtype),
+        rho=jnp.asarray(config.admm.rho, X_lin.dtype),
+        x_ref=jnp.tile(x_target, (N + 1, 1)),
+    )
+
+
+def rti_step(
+    step_fn: Callable[[Array, Array], Array],
+    config: RTIConfig,
+    state: RTIState,
+    x_current: Array,
+) -> Tuple[RTISolution, RTIState]:
+    """One combined prepare+feedback RTI cycle (``osqp_rti.py:569-599``).
+
+    ``step_fn(x, u) → x⁺`` is the discrete dynamics (e.g.
+    ``partial(rocket3dof.step, params, dt=config.dt)``). Pure function —
+    jit/vmap/scan it freely.
+    """
+    N = config.N
+
+    # preparation: linearize along the current trajectory (AD, vmapped)
+    Aks, Bks, cks = trajectory_jacobians(step_fn, state.X_lin, state.U_lin)
+    data = build_mpc_qp(
+        Aks, Bks, cks, x_current,
+        config.Q, config.R, config.Qf, state.x_ref,
+        config.x_min, config.x_max, config.u_min, config.u_max,
+    )
+
+    # feedback: warm-started ADMM solve
+    z0 = join_z(state.X_prev, state.U_prev)
+    y0 = state.y_prev if config.warm_start_duals else jnp.zeros_like(state.y_prev)
+    sol = solve(data, z0, y0, config.admm, rho0=state.rho)
+    ok = sol.status == SOLVED
+
+    X_sol, U_sol = split_z(sol.x, N, config.n_x, config.n_u)
+    # fallback: reuse the shifted previous solution on failure (osqp_rti.py:546-552)
+    X_opt = jnp.where(ok, X_sol, state.X_prev)
+    U_opt = jnp.where(ok, U_sol, state.U_prev)
+
+    # shift for the next cycle's warm start
+    X_shift = jnp.concatenate([X_opt[1:], X_opt[-1:]], axis=0)
+    U_shift = jnp.concatenate([U_opt[1:], U_opt[-1:]], axis=0)
+
+    new_state = state.replace(
+        X_lin=X_opt,
+        U_lin=U_opt,
+        X_prev=X_shift,
+        U_prev=U_shift,
+        y_prev=jnp.where(ok, sol.y, state.y_prev),
+        rho=sol.rho,
+    )
+    return (
+        RTISolution(
+            u0=U_opt[0],
+            X_opt=X_opt,
+            U_opt=U_opt,
+            cost=jnp.where(ok, sol.obj, jnp.inf),
+            iterations=sol.iterations,
+            success=ok,
+        ),
+        new_state,
+    )
+
+
+def make_rti_controller(
+    step_fn: Callable[[Array, Array], Array],
+    config: RTIConfig,
+    x_target: Array,
+    reference_fn: Optional[Callable[[Array], Array]] = None,
+    ref_horizon: int = 100,
+) -> Tuple[Callable, Callable]:
+    """(controller_init, controller_step) pair for the Monte-Carlo campaign
+    protocol (``experiments.monte_carlo.run_campaign``).
+
+    ``reference_fn(x0) → (T, n_x)`` optionally generates a per-scenario
+    descent reference at init (e.g. ``cubic_descent_reference``); the step
+    then tracks the receding window at step k. The reference trajectory rides
+    in the controller state so it vmaps per-scenario.
+    """
+
+    def cinit(x0: Array):
+        state = rti_init(config, x0, x_target)
+        if reference_fn is not None:
+            X_ref_full = reference_fn(x0)
+            need = ref_horizon + config.N + 1
+            pad = jnp.tile(X_ref_full[-1:], (max(need - X_ref_full.shape[0], 1), 1))
+            X_ref_full = jnp.concatenate([X_ref_full, pad], axis=0)[:need]
+            return (state, X_ref_full)
+        return state
+
+    def cstep(cstate, x: Array, k: Array):
+        if reference_fn is not None:
+            state, X_ref_full = cstate
+            kk = jnp.minimum(k, ref_horizon - 1)
+            window = jax.lax.dynamic_slice_in_dim(X_ref_full, kk, config.N + 1, axis=0)
+            state = state.replace(x_ref=window)
+            sol, new_state = rti_step(step_fn, config, state, x)
+            return sol.u0, (new_state, X_ref_full)
+        sol, new_state = rti_step(step_fn, config, cstate, x)
+        return sol.u0, new_state
+
+    return cinit, cstep
+
+
+def rti_closed_loop(
+    step_fn: Callable[[Array, Array], Array],
+    config: RTIConfig,
+    x0: Array,
+    x_target: Array,
+    n_steps: int,
+    landing_altitude: float = 0.1,
+    sim_step_fn: Optional[Callable[[Array, Array], Array]] = None,
+    X_ref_full: Optional[Array] = None,
+) -> dict:
+    """Closed-loop simulation: scan over {solve → apply u0 → step → check}
+    with landing lanes frozen (mirrors the loop in ``nominal_mpc.py:449-529``
+    on the RTI controller; altitude-based termination ``:519``).
+
+    ``sim_step_fn`` lets the plant differ from the controller model (for
+    dispersion/fault injection); defaults to ``step_fn``. ``X_ref_full`` is an
+    optional time-indexed reference trajectory of length ≥ n_steps + N + 1;
+    each control step tracks the receding window starting at the current step
+    (the windowing/padding of ``nominal_mpc.py:481-500``). Without it the
+    loop tracks the constant target.
+    """
+    plant = sim_step_fn or step_fn
+    state0 = rti_init(config, x0, x_target, u_hover=None)
+
+    def body(carry, k):
+        x, state, landed, steps = carry
+        if X_ref_full is not None:
+            window = jax.lax.dynamic_slice_in_dim(X_ref_full, k, config.N + 1, axis=0)
+            state = state.replace(x_ref=window)
+        sol, state_new = rti_step(step_fn, config, state, x)
+        x_next = plant(x, sol.u0)
+        now_landed = x_next[1] < landing_altitude
+        x_out = jnp.where(landed, x, x_next)
+        state_out = jax.tree.map(
+            lambda a, b: jnp.where(landed, a, b), state, state_new
+        )
+        steps = steps + jnp.where(landed, 0, 1)
+        return (x_out, state_out, landed | now_landed, steps), (
+            x_out,
+            jnp.where(landed, jnp.zeros_like(sol.u0), sol.u0),
+            sol.success,
+        )
+
+    (x_final, _, landed, steps), (X, U, succ) = jax.lax.scan(
+        body, (x0, state0, jnp.asarray(False), jnp.asarray(0, jnp.int32)),
+        jnp.arange(n_steps),
+    )
+    return {
+        "X": jnp.concatenate([x0[None], X], axis=0),
+        "U": U,
+        "x_final": x_final,
+        "landed": landed,
+        "steps": steps,
+        "solver_success": succ,
+    }

@@ -1,0 +1,177 @@
+"""MPC-layer tests: constraints, costs/LQR, RTI controller closed loop.
+
+The RTI landing test mirrors the reference's de-facto integration test
+criteria (`demo_mpc_tracking.py:182-187`): pos err <1 m, vel <2 m/s.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import scipy.linalg
+
+from gpmpc_tpu.dynamics import Rocket3DoFParams, rocket3dof as r3
+from gpmpc_tpu.mpc import (
+    ConstraintParams,
+    CostWeights,
+    RTIConfig,
+    check_all_constraints,
+    compute_lqr_gain,
+    normal_quantile,
+    rti_closed_loop,
+    rti_init,
+    rti_step,
+    trajectory_cost,
+)
+from gpmpc_tpu.ops.linalg import robust_cholesky, solve_care, solve_dare
+from gpmpc_tpu.reference import cubic_descent_reference, pad_reference
+
+
+class TestLinalg:
+    def test_dare_matches_scipy(self, rng):
+        A = jnp.array([[1.0, 0.1], [0.0, 1.0]])
+        B = jnp.array([[0.005], [0.1]])
+        Q = jnp.diag(jnp.array([10.0, 1.0]))
+        R = jnp.eye(1) * 0.1
+        P = solve_dare(A, B, Q, R)
+        P_ref = scipy.linalg.solve_discrete_are(
+            np.asarray(A, np.float64), np.asarray(B, np.float64),
+            np.asarray(Q, np.float64), np.asarray(R, np.float64))
+        np.testing.assert_allclose(P, P_ref, rtol=1e-4)
+
+    def test_care_matches_scipy(self):
+        A = jnp.array([[0.0, 1.0], [-1.0, -0.2]])
+        B = jnp.array([[0.0], [1.0]])
+        Q = jnp.eye(2)
+        R = jnp.eye(1)
+        P = solve_care(A, B, Q, R)
+        P_ref = scipy.linalg.solve_continuous_are(
+            np.asarray(A, np.float64), np.asarray(B, np.float64),
+            np.asarray(Q, np.float64), np.asarray(R, np.float64))
+        np.testing.assert_allclose(P, P_ref, rtol=1e-3, atol=1e-4)
+
+    def test_lqr_stabilizes(self):
+        A = jnp.array([[1.0, 0.1], [0.0, 1.0]])
+        B = jnp.array([[0.005], [0.1]])
+        K, P = compute_lqr_gain(A, B, jnp.eye(2), jnp.eye(1))
+        eig = np.linalg.eigvals(np.asarray(A - B @ K))
+        assert np.all(np.abs(eig) < 1.0)
+
+    def test_robust_cholesky_on_near_singular(self):
+        M = jnp.diag(jnp.array([1.0, 1e-12, 2.0]))
+        L, j = robust_cholesky(M)
+        assert bool(jnp.all(jnp.isfinite(L)))
+        np.testing.assert_allclose(L @ L.T, M + j * jnp.eye(3), atol=1e-5)
+
+
+class TestConstraints:
+    def test_quantile(self):
+        np.testing.assert_allclose(normal_quantile(jnp.asarray(0.975)), 1.9599, atol=1e-3)
+        np.testing.assert_allclose(normal_quantile(jnp.asarray(0.5)), 0.0, atol=1e-6)
+
+    def test_check_all_constraints_6dof(self):
+        params = ConstraintParams()
+        x = jnp.concatenate([
+            jnp.array([2.0, 10.0, 0.5, 0.0, -1.0, 0.0, 0.0]),
+            jnp.array([1.0, 0.0, 0.0, 0.0]),
+            jnp.zeros(3),
+        ])
+        u = jnp.array([2.0, 0.1, 0.0])
+        rep = check_all_constraints(x, u, params)
+        assert bool(rep["all_satisfied"])
+        # violate thrust
+        rep = check_all_constraints(x, jnp.array([10.0, 0.0, 0.0]), params)
+        assert not bool(rep["all_satisfied"])
+        assert not bool(rep["thrust_max_satisfied"])
+
+    def test_batched_constraints(self):
+        params = ConstraintParams()
+        x = jnp.tile(
+            jnp.concatenate([
+                jnp.array([2.0, 10.0, 0.0, 0.0, -1.0, 0.0, 0.0]),
+                jnp.array([1.0, 0.0, 0.0, 0.0]), jnp.zeros(3)]),
+            (5, 1),
+        )
+        u = jnp.tile(jnp.array([2.0, 0.0, 0.0]), (5, 1))
+        rep = check_all_constraints(x, u, params)
+        assert rep["all_satisfied"].shape == (5,)
+
+
+class TestCosts:
+    def test_weights_shapes(self):
+        w = CostWeights()
+        assert w.Q_6dof().shape == (14, 14)
+        assert w.Q_3dof().shape == (7, 7)
+        # attitude weight only on tilt components q_y, q_z
+        Q = np.asarray(w.Q_6dof())
+        assert Q[7, 7] == 0 and Q[8, 8] == 0 and Q[9, 9] > 0 and Q[10, 10] > 0
+
+    def test_trajectory_cost_matches_loop(self, rng):
+        w = CostWeights()
+        Q, R, P = w.Q_3dof(), w.R(), w.P_3dof()
+        X = jnp.asarray(rng.normal(size=(6, 7)), jnp.float32)
+        U = jnp.asarray(rng.normal(size=(5, 3)), jnp.float32)
+        ref = jnp.zeros(7)
+        total = trajectory_cost(X, U, ref, Q, R, P)
+        manual = sum(
+            float(X[k] @ Q @ X[k] + U[k] @ R @ U[k]) for k in range(5)
+        ) + float(X[5] @ P @ X[5])
+        np.testing.assert_allclose(float(total), manual, rtol=1e-4)
+
+
+@pytest.fixture(scope="module")
+def landing_run():
+    p = Rocket3DoFParams()
+    cfg = RTIConfig()
+    F = lambda x, u: r3.step(p, x, u, cfg.dt)
+    x0 = jnp.array([2.0, 30.0, 1.0, -0.5, -3.0, 0.0, 0.0])
+    xT = jnp.array([2.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0])
+    out = jax.jit(lambda x: rti_closed_loop(F, cfg, x, xT, 120))(x0)
+    return out
+
+
+class TestRTI:
+    def test_single_step_structure(self):
+        p = Rocket3DoFParams()
+        cfg = RTIConfig()
+        F = lambda x, u: r3.step(p, x, u, cfg.dt)
+        x0 = jnp.array([2.0, 30.0, 0.0, 0.0, -3.0, 0.0, 0.0])
+        xT = jnp.zeros(7).at[0].set(2.0)
+        state = rti_init(cfg, x0, xT)
+        sol, state2 = rti_step(F, cfg, state, x0)
+        assert sol.u0.shape == (3,)
+        assert bool(sol.success)
+        # control respects bounds
+        assert float(sol.U_opt[:, 0].min()) >= 0.3 - 1e-3
+        assert float(jnp.abs(sol.U_opt).max()) <= 5.0 + 1e-3
+        # warm-start state advanced
+        assert not np.allclose(np.asarray(state2.X_prev), np.asarray(state.X_prev))
+
+    def test_closed_loop_lands_within_criteria(self, landing_run):
+        out = landing_run
+        assert bool(out["landed"])
+        xf = out["x_final"]
+        assert float(jnp.linalg.norm(xf[4:7])) < 2.0  # touchdown speed
+        assert float(jnp.linalg.norm(xf[2:4])) < 1.0  # position error
+        assert float(jnp.mean(out["solver_success"].astype(jnp.float32))) > 0.9
+
+    def test_closed_loop_batch_with_reference(self):
+        """Batch landing while tracking per-scenario cubic descent references
+        (the reference demo's setup) — soft touchdown everywhere."""
+        p = Rocket3DoFParams()
+        cfg = RTIConfig()
+        F = lambda x, u: r3.step(p, x, u, cfg.dt)
+        xT = jnp.zeros(7).at[0].set(2.0)
+        x0s = jnp.tile(jnp.array([2.0, 30.0, 0.0, 0.0, -3.0, 0.0, 0.0]), (8, 1))
+        x0s = x0s.at[:, 1].add(jnp.linspace(-3, 3, 8)).at[:, 2].add(jnp.linspace(-1, 1, 8))
+
+        def run_one(x):
+            Xr = pad_reference(cubic_descent_reference(x, xT, 100, cfg.dt), cfg.N + 20)
+            return rti_closed_loop(F, cfg, x, xT, 110, X_ref_full=Xr)
+
+        out = jax.jit(jax.vmap(run_one))(x0s)
+        assert bool(jnp.all(out["landed"]))
+        v = jax.vmap(jnp.linalg.norm)(out["x_final"][:, 4:7])
+        perr = jax.vmap(jnp.linalg.norm)(out["x_final"][:, 2:4])
+        assert float(v.max()) < 1.0
+        assert float(perr.max()) < 0.5
