@@ -1,0 +1,247 @@
+"""GP-augmented MPC: SCP loop over the shared batched QP solver.
+
+TPU-native counterpart of ``/root/reference/src/mpc/gp_mpc.py``: forward
+simulation with the GP mean added to the learned slices (``:139-175,
+258-281``), linear uncertainty propagation per iteration (``:283-291,
+348-353``), the ≤``scp_iterations`` SCP loop — linearize nominal + GP-mean
+affine term, solve a trust-region QP, re-propagate (``:299-353``) — and
+chance-constraint tightening from the propagated σ (``:177-215``).
+
+Where the reference hands each subproblem to CasADi/IPOPT (``:462-467``),
+here every SCP iteration is the same dense ADMM QP as the RTI path, with the
+trust region expressed as per-stage box bounds — so the whole GP-MPC solve is
+one fixed-iteration-count XLA program that vmaps over scenarios.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from ..dynamics.linearize import trajectory_jacobians
+from ..ops.qp import ADMMConfig, SOLVED, build_mpc_qp, join_z, solve, split_z
+from .rti import RTIConfig
+from .uncertainty_prop import box_tightening, propagate_linear
+
+Array = jax.Array
+
+
+@struct.dataclass
+class GPMPCConfig:
+    """(mirrors ``GPMPCConfig``, ``gp_mpc.py:44-80`` — trust regions
+    ``:427-435``, convergence tol ``:337-343``)."""
+
+    base: RTIConfig = struct.field(default_factory=RTIConfig)
+    scp_iterations: int = struct.field(pytree_node=False, default=5)
+    trust_region_x: float = 10.0
+    trust_region_u: float = 5.0
+    convergence_tol: float = 1e-4
+    # chance-constraint tightening
+    tighten: bool = struct.field(pytree_node=False, default=True)
+    confidence: float = 0.95
+    sigma0_scale: float = 1e-6
+
+
+class GPMPCSolution(NamedTuple):
+    X_opt: Array
+    U_opt: Array
+    u0: Array
+    cost: Array
+    scp_iters: Array
+    converged: Array
+    success: Array
+    Sigmas: Array  # propagated covariances (N+1, n_x, n_x)
+
+
+@struct.dataclass
+class GPMPCState:
+    """Warm-start carry across control steps."""
+
+    X_lin: Array
+    U_lin: Array
+    x_ref: Array
+    rho: Array
+
+
+def _augmented_rollout(step_fn, gp_mean_fn, X_guess, U, dt):
+    """Forward simulate with the GP mean added to the learned slices
+    (``gp_mpc.py:139-175``): x⁺ = F(x,u) + dt·lift(μ_GP(x,u))."""
+
+    def body(x, u):
+        x_next = step_fn(x, u) + dt * gp_mean_fn(x, u)
+        return x_next, x_next
+
+    _, X = jax.lax.scan(body, X_guess[0], U)
+    return jnp.concatenate([X_guess[:1], X], axis=0)
+
+
+def gp_mpc_solve(
+    step_fn: Callable[[Array, Array], Array],
+    gp_mean_fn: Callable[[Array, Array], Array],
+    gp_var_fn: Callable[[Array, Array], Array],
+    config: GPMPCConfig,
+    state: GPMPCState,
+    x0: Array,
+) -> Tuple[GPMPCSolution, GPMPCState]:
+    """One receding-horizon GP-MPC solve.
+
+    - ``step_fn(x,u) → x⁺``: nominal discrete dynamics.
+    - ``gp_mean_fn(x,u) → lifted residual`` (n_x-vector, already through
+      ``lift_residual``) and ``gp_var_fn(x,u) → (n_gp,) variances``.
+    Everything jits; vmap over (state, x0) for scenario batches.
+    """
+    cfg = config.base
+    N, n_x, n_u = cfg.N, cfg.n_x, cfg.n_u
+    dt = cfg.dt
+
+    aug_step = lambda x, u: step_fn(x, u) + dt * gp_mean_fn(x, u)
+
+    # re-anchor: forward-simulate the warm-start controls from the measured
+    # state so the linearization trajectory is dynamically consistent
+    # (gp_mpc.py:258-281); trust regions are then meaningful.
+    X_sim = _augmented_rollout(
+        step_fn, gp_mean_fn, state.X_lin.at[0].set(x0), state.U_lin, dt
+    )
+
+    def scp_iter(carry, _):
+        X_lin, U_lin, rho, dX_prev, done = carry
+
+        # linearize the augmented dynamics along (X_lin, U_lin); the GP mean
+        # enters both the Jacobians (AD through aug_step) and the affine term
+        Aks, Bks, cks = trajectory_jacobians(aug_step, X_lin, U_lin)
+
+        # uncertainty propagation + tightened per-stage box bounds
+        gp_vars = jax.vmap(gp_var_fn)(X_lin[:-1], U_lin)
+        Sigma0 = config.sigma0_scale * jnp.eye(n_x, dtype=X_lin.dtype)
+        prop = propagate_linear(Aks, X_lin, Sigma0, gp_vars, dt)
+        if config.tighten:
+            backoff = box_tightening(prop.covariances, config.confidence)
+        else:
+            backoff = jnp.zeros_like(X_lin)
+
+        # trust region ∩ absolute bounds ∩ chance back-offs
+        Xlo = jnp.maximum(cfg.x_min[None, :] + backoff, X_lin - config.trust_region_x)
+        Xhi = jnp.minimum(cfg.x_max[None, :] - backoff, X_lin + config.trust_region_x)
+        Ulo = jnp.maximum(cfg.u_min[None, :], U_lin - config.trust_region_u)
+        Uhi = jnp.minimum(cfg.u_max[None, :], U_lin + config.trust_region_u)
+
+        data = build_mpc_qp(
+            Aks, Bks, cks, x0, cfg.Q, cfg.R, cfg.Qf, state.x_ref,
+            Xlo, Xhi, Ulo, Uhi,
+        )
+        z0 = join_z(X_lin, U_lin)
+        sol = solve(data, z0, None, cfg.admm, rho0=rho)
+        ok = sol.status == SOLVED
+        X_new, U_new = split_z(sol.x, N, n_x, n_u)
+        X_new = jnp.where(ok, X_new, X_lin)
+        U_new = jnp.where(ok, U_new, U_lin)
+
+        dX = jnp.max(jnp.abs(X_new - X_lin)) + jnp.max(jnp.abs(U_new - U_lin))
+        newly_done = dX < config.convergence_tol
+        X_out = jnp.where(done, X_lin, X_new)
+        U_out = jnp.where(done, U_lin, U_new)
+        return (X_out, U_out, sol.rho, dX, done | newly_done), (ok, prop.covariances)
+
+    init = (
+        X_sim,
+        state.U_lin,
+        state.rho,
+        jnp.asarray(jnp.inf, x0.dtype),
+        jnp.asarray(False),
+    )
+    (X_opt, U_opt, rho, dX, converged), (oks, Sigma_hist) = jax.lax.scan(
+        scp_iter, init, None, length=config.scp_iterations
+    )
+
+    # re-anchor the trajectory at the measured state for the next cycle
+    X_shift = jnp.concatenate([X_opt[1:], X_opt[-1:]], axis=0)
+    U_shift = jnp.concatenate([U_opt[1:], U_opt[-1:]], axis=0)
+    new_state = state.replace(X_lin=X_shift, U_lin=U_shift, rho=rho)
+
+    e = X_opt - state.x_ref
+    cost = jnp.einsum("ki,ij,kj->", e[:-1], cfg.Q, e[:-1]) + jnp.einsum(
+        "ki,ij,kj->", U_opt, cfg.R, U_opt
+    ) + e[-1] @ cfg.Qf @ e[-1]
+
+    return (
+        GPMPCSolution(
+            X_opt=X_opt,
+            U_opt=U_opt,
+            u0=U_opt[0],
+            cost=cost,
+            scp_iters=jnp.asarray(config.scp_iterations, jnp.int32),
+            converged=converged,
+            success=jnp.any(oks),
+            Sigmas=Sigma_hist[-1],
+        ),
+        new_state,
+    )
+
+
+def gp_mpc_init(
+    config: GPMPCConfig, x0: Array, x_target: Array,
+    X_init: Optional[Array] = None, U_init: Optional[Array] = None,
+) -> GPMPCState:
+    cfg = config.base
+    N = cfg.N
+    alphas = jnp.linspace(0.0, 1.0, N + 1)[:, None]
+    X_lin = (1 - alphas) * x0[None] + alphas * x_target[None] if X_init is None else X_init
+    U_lin = (
+        jnp.tile(jnp.zeros(cfg.n_u).at[0].set(x0[0]), (N, 1)) if U_init is None else U_init
+    )
+    return GPMPCState(
+        X_lin=X_lin, U_lin=U_lin,
+        x_ref=jnp.tile(x_target, (N + 1, 1)),
+        rho=jnp.asarray(cfg.admm.rho, X_lin.dtype),
+    )
+
+
+def make_gp_mpc_controller(
+    step_fn, gp_mean_fn, gp_var_fn, config: GPMPCConfig, x_target: Array,
+    reference_fn: Optional[Callable] = None, ref_horizon: int = 100,
+):
+    """(controller_init, controller_step) for the Monte-Carlo protocol."""
+
+    def cinit(x0):
+        st = gp_mpc_init(config, x0, x_target)
+        if reference_fn is not None:
+            Xr = reference_fn(x0)
+            need = ref_horizon + config.base.N + 1
+            pad = jnp.tile(Xr[-1:], (max(need - Xr.shape[0], 1), 1))
+            return (st, jnp.concatenate([Xr, pad], axis=0)[:need])
+        return st
+
+    def cstep(cstate, x, k):
+        if reference_fn is not None:
+            st, Xr = cstate
+            kk = jnp.minimum(k, ref_horizon - 1)
+            st = st.replace(
+                x_ref=jax.lax.dynamic_slice_in_dim(Xr, kk, config.base.N + 1, axis=0)
+            )
+            sol, st2 = gp_mpc_solve(step_fn, gp_mean_fn, gp_var_fn, config, st, x)
+            return sol.u0, (st2, Xr)
+        sol, st2 = gp_mpc_solve(step_fn, gp_mean_fn, gp_var_fn, config, cstate, x)
+        return sol.u0, st2
+
+    return cinit, cstep
+
+
+class SimpleGPPredictor:
+    """Augmented-dynamics rollout helper (mirrors ``SimpleGPPredictor``,
+    ``gp_mpc.py:505-574``)."""
+
+    def __init__(self, step_fn, gp_mean_fn, dt: float = 0.1):
+        self.step_fn = step_fn
+        self.gp_mean_fn = gp_mean_fn
+        self.dt = dt
+
+    def rollout(self, x0: Array, U: Array) -> Array:
+        def body(x, u):
+            xn = self.step_fn(x, u) + self.dt * self.gp_mean_fn(x, u)
+            return xn, xn
+
+        _, X = jax.lax.scan(body, x0, U)
+        return jnp.concatenate([x0[None], X], axis=0)

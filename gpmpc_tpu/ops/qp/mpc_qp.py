@@ -113,16 +113,18 @@ def build_constraints(
 
     # equality bounds
     eq = jnp.concatenate([x_init, (-cks).reshape(-1)])
-    # variable bounds in interleaved layout
+    # variable bounds in interleaved layout; bounds may be constant (n,) or
+    # per-stage ((N+1, n_x) / (N, n_u)) — e.g. trust regions and chance
+    # back-offs in the SCP loop
+    Xlo = jnp.broadcast_to(x_min, (N + 1, n_x))
+    Xhi = jnp.broadcast_to(x_max, (N + 1, n_x))
+    Ulo = jnp.broadcast_to(u_min, (N, n_u))
+    Uhi = jnp.broadcast_to(u_max, (N, n_u))
     zb_lo = jnp.concatenate(
-        [jnp.concatenate([jnp.broadcast_to(x_min, (N, n_x)),
-                          jnp.broadcast_to(u_min, (N, n_u))], axis=1).reshape(-1),
-         x_min]
+        [jnp.concatenate([Xlo[:-1], Ulo], axis=1).reshape(-1), Xlo[-1]]
     )
     zb_hi = jnp.concatenate(
-        [jnp.concatenate([jnp.broadcast_to(x_max, (N, n_x)),
-                          jnp.broadcast_to(u_max, (N, n_u))], axis=1).reshape(-1),
-         x_max]
+        [jnp.concatenate([Xhi[:-1], Uhi], axis=1).reshape(-1), Xhi[-1]]
     )
     l = jnp.concatenate([eq, zb_lo])
     u = jnp.concatenate([eq, zb_hi])

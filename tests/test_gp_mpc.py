@@ -1,0 +1,180 @@
+"""GP-MPC and uncertainty-propagation tests.
+
+Key scenario (mirrors the reference's GP-MPC purpose): the plant has drag the
+nominal model doesn't know; the GP learns the residual; GP-MPC with the
+learned model must land more accurately than nominal MPC.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gpmpc_tpu.dynamics import Rocket3DoFParams, rocket3dof as r3, trajectory_jacobians
+from gpmpc_tpu.gp import ResidualCollector, Simple3DoFGP, StructuredGPConfig
+from gpmpc_tpu.mpc import (
+    GPMPCConfig,
+    RTIConfig,
+    box_tightening,
+    gp_mpc_init,
+    gp_mpc_solve,
+    propagate_linear,
+    propagate_monte_carlo,
+    propagate_tube,
+    propagate_unscented,
+)
+
+
+@pytest.fixture
+def p3():
+    return Rocket3DoFParams()
+
+
+class TestUncertaintyProp:
+    def test_linear_propagation_grows(self, p3):
+        N = 10
+        x0 = jnp.array([2.0, 20.0, 0.0, 0.0, -2.0, 0.0, 0.0])
+        U = jnp.tile(jnp.array([2.0, 0.0, 0.0]), (N, 1))
+        X = r3.simulate(p3, x0, U, 0.1)
+        F = lambda x, u: r3.step(p3, x, u, 0.1)
+        Aks, _, _ = trajectory_jacobians(F, X, U)
+        gp_vars = jnp.full((N, 3), 0.01)
+        prop = propagate_linear(Aks, X, jnp.zeros((7, 7)), gp_vars, 0.1)
+        assert prop.covariances.shape == (N + 1, 7, 7)
+        tr = jnp.trace(prop.covariances, axis1=1, axis2=2)
+        assert float(tr[0]) == 0.0
+        assert bool(jnp.all(jnp.diff(tr) > 0))  # uncertainty accumulates
+
+    def test_linear_matches_monte_carlo_for_linear_system(self):
+        """For linear dynamics both propagators must agree."""
+        A = jnp.array([[1.0, 0.1], [0.0, 1.0]])
+        step = lambda x, u: A @ x
+        N = 5
+        Sigma0 = jnp.diag(jnp.array([0.04, 0.01]))
+        x0 = jnp.array([1.0, 0.0])
+        U = jnp.zeros((N, 1))
+        X = jnp.stack([jnp.linalg.matrix_power(A, k) @ x0 for k in range(N + 1)])
+        lin = propagate_linear(jnp.tile(A, (N, 1, 1)), X, Sigma0, jnp.zeros((N, 3)), 0.1)
+        mc = propagate_monte_carlo(
+            jax.random.PRNGKey(0), step, x0, Sigma0, U, n_particles=4000
+        )
+        np.testing.assert_allclose(lin.covariances[-1], mc.covariances[-1], atol=5e-3)
+        np.testing.assert_allclose(lin.means[-1], mc.means[-1], atol=2e-2)
+
+    def test_unscented_matches_linear_for_linear_system(self):
+        A = jnp.array([[1.0, 0.1], [0.0, 0.95]])
+        step = lambda x, u: A @ x
+        N = 6
+        Sigma0 = 0.01 * jnp.eye(2)
+        x0 = jnp.array([1.0, -0.5])
+        X = jnp.stack([jnp.linalg.matrix_power(A, k) @ x0 for k in range(N + 1)])
+        lin = propagate_linear(jnp.tile(A, (N, 1, 1)), X, Sigma0, jnp.zeros((N, 3)), 0.1)
+        ut = propagate_unscented(step, x0, Sigma0, jnp.zeros((N, 1)))
+        np.testing.assert_allclose(ut.covariances[-1], lin.covariances[-1], atol=1e-4)
+        np.testing.assert_allclose(ut.means[-1], lin.means[-1], atol=1e-4)
+
+    def test_confidence_bounds_and_tightening(self):
+        Sigmas = jnp.tile(0.04 * jnp.eye(3), (4, 1, 1))
+        b = box_tightening(Sigmas, 0.975)
+        np.testing.assert_allclose(b, 1.96 * 0.2, rtol=1e-3)
+
+    def test_tube_propagation(self):
+        A = jnp.array([[0.9, 0.1], [0.0, 0.9]])
+        e = propagate_tube(jnp.tile(A, (20, 1, 1)), jnp.array([0.01, 0.01]))
+        assert e.shape == (21, 2)
+        # contractive |A| with constant w converges to a bounded tube
+        assert float(e[-1].max()) < 0.5
+        assert bool(jnp.all(e[1:] > 0))
+
+
+class TestGPMPC:
+    def _setup(self, with_gp: bool):
+        p_nom = Rocket3DoFParams()
+        p_true = p_nom.replace(rho=1.0, C_D=1.2, A_ref=0.5)  # strong unmodeled drag
+        dt = 0.1
+        F_nom = lambda x, u: r3.step(p_nom, x, u, dt)
+        F_true = lambda x, u: r3.step(p_true, x, u, dt)
+
+        if with_gp:
+            # collect residual data from exploratory flight under true plant
+            key = jax.random.PRNGKey(0)
+            xs, us, xns = [], [], []
+            x = jnp.array([2.0, 30.0, 1.0, -1.0, -3.0, 0.5, 0.2])
+            for k in range(100):
+                u = r3.clamp_thrust(
+                    p_nom,
+                    r3.hover_thrust(p_nom, x)
+                    + 0.4 * jax.random.normal(jax.random.fold_in(key, k), (3,)),
+                )
+                xn = F_true(x, u)
+                xs.append(x), us.append(u), xns.append(xn)
+                x = jnp.where(
+                    xn[1] > 0.5, xn, jnp.array([2.0, 25.0, -1.0, 2.0, -4.0, -0.5, 0.1])
+                )
+            X, U, Xn = jnp.stack(xs), jnp.stack(us), jnp.stack(xns)
+            res = ResidualCollector(dt=dt).collect_batch(F_nom, X, U, Xn)
+            gp = Simple3DoFGP.create(StructuredGPConfig(max_data_points=128, n_inducing=40))
+            gp = gp.add_data_batch(X, U, res).fit(jax.random.PRNGKey(1))
+            mean_fn = lambda x, u: Simple3DoFGP.lift_residual(gp.predict(x, u)[0], 7)
+            var_fn = lambda x, u: gp.predict(x, u)[1]
+        else:
+            mean_fn = lambda x, u: jnp.zeros(7)
+            var_fn = lambda x, u: jnp.zeros(3)
+        return F_nom, F_true, mean_fn, var_fn
+
+    def test_single_solve_structure(self):
+        F_nom, _, mean_fn, var_fn = self._setup(with_gp=False)
+        cfg = GPMPCConfig(scp_iterations=3)
+        x0 = jnp.array([2.0, 25.0, 0.0, 0.0, -3.0, 0.0, 0.0])
+        xT = jnp.zeros(7).at[0].set(2.0)
+        st = gp_mpc_init(cfg, x0, xT)
+        sol, st2 = gp_mpc_solve(F_nom, mean_fn, var_fn, cfg, st, x0)
+        assert sol.u0.shape == (3,)
+        assert bool(sol.success)
+        assert sol.Sigmas.shape == (cfg.base.N + 1, 7, 7)
+        # thrust bounds respected
+        assert float(sol.U_opt[:, 0].min()) >= 0.3 - 1e-3
+
+    @pytest.mark.slow
+    def test_gp_mpc_beats_nominal_under_drag(self):
+        """Closed loop on the drag plant: GP-augmented MPC tracks better."""
+        from gpmpc_tpu.mpc.gp_mpc import make_gp_mpc_controller
+        from gpmpc_tpu.reference import cubic_descent_reference
+
+        results = {}
+        for with_gp in (False, True):
+            F_nom, F_true, mean_fn, var_fn = self._setup(with_gp)
+            cfg = GPMPCConfig(scp_iterations=2, tighten=False)
+            xT = jnp.zeros(7).at[0].set(2.0)
+            ref_fn = lambda x0: cubic_descent_reference(x0, xT, 80, 0.1)
+            cinit, cstep = make_gp_mpc_controller(
+                F_nom, mean_fn, var_fn, cfg, xT, reference_fn=ref_fn, ref_horizon=100
+            )
+            x = jnp.array([2.0, 25.0, 0.5, -0.5, -3.0, 0.0, 0.0])
+
+            @jax.jit
+            def run(x):
+                cstate = cinit(x)
+
+                def body(carry, k):
+                    x, cstate, landed = carry
+                    u, cstate = cstep(cstate, x, k)
+                    xn = F_true(x, u)  # true plant with drag
+                    xn = jnp.where(landed, x, xn)
+                    return (xn, cstate, landed | (xn[1] < 0.1)), None
+
+                (xf, _, landed), _ = jax.lax.scan(
+                    body, (x, cstate, jnp.asarray(False)), jnp.arange(140)
+                )
+                return xf, landed
+
+            xf, landed = run(x)
+            results[with_gp] = {
+                "landed": bool(landed),
+                "v": float(jnp.linalg.norm(xf[4:7])),
+                "perr": float(jnp.linalg.norm(xf[2:4])),
+            }
+
+        assert results[True]["landed"]
+        # GP controller must touch down at least as softly as nominal
+        assert results[True]["v"] <= results[False]["v"] + 0.05, results
