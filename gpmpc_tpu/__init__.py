@@ -25,3 +25,12 @@ Subpackages
 """
 
 __version__ = "0.1.0"
+
+import jax as _jax
+
+# TPU matmuls default to bf16 inputs, which collapses the ADMM/Cholesky
+# numerics (solver residuals floor ~1e-2 and nothing converges). All compute
+# paths here are engineered for f32; pin the matmul precision accordingly.
+# Override after import (or via JAX_DEFAULT_MATMUL_PRECISION) if a caller
+# really wants bf16 for throughput experiments.
+_jax.config.update("jax_default_matmul_precision", "float32")

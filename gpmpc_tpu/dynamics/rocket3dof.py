@@ -110,7 +110,11 @@ def f(params: Rocket3DoFParams, x: Array, u: Array) -> Array:
     T_mag = jnp.sqrt(jnp.sum(u * u) + _EPS_THRUST**2)
     m_dot = -params.alpha * T_mag
     r_dot = v
-    a_drag = -(0.5 * params.rho * params.C_D * params.A_ref) * jnp.linalg.norm(v) * v / m
+    # smooth ‖v‖ so the AD Jacobian is finite at v = 0 (plain norm has a NaN
+    # gradient there, which poisons hover-point linearizations even when the
+    # drag coefficients are zero)
+    v_mag = jnp.sqrt(jnp.sum(v * v) + _EPS_THRUST**2)
+    a_drag = -(0.5 * params.rho * params.C_D * params.A_ref) * v_mag * v / m
     v_dot = u / m + params.g_I + a_drag
     return jnp.concatenate([m_dot[None], r_dot, v_dot])
 

@@ -138,9 +138,11 @@ def f(params: Rocket6DoFParams, x: Array, u: Array) -> Array:
     C_IB = dcm_from_quaternion(q)
     T_mag = jnp.sqrt(jnp.sum(u * u) + _EPS_THRUST**2)
 
-    # aero force in body frame: F_A = -½ ρ S C_A ‖v‖ v_B  (zero when rho=0)
+    # aero force in body frame: F_A = -½ ρ S C_A ‖v‖ v_B  (zero when rho=0);
+    # smooth ‖v‖ keeps the AD Jacobian finite at v = 0
     v_B = C_IB.T @ v
-    F_A_B = -(0.5 * params.rho * params.S_ref) * (params.C_A @ v_B) * jnp.linalg.norm(v)
+    v_mag = jnp.sqrt(jnp.sum(v * v) + _EPS_THRUST**2)
+    F_A_B = -(0.5 * params.rho * params.S_ref) * (params.C_A @ v_B) * v_mag
 
     m_dot = -params.alpha * T_mag
     r_dot = v

@@ -1,0 +1,186 @@
+"""Safety-stack tests: LQR backup stabilizes hover, invariant set properties,
+maximal-alpha search, safety filter passes safe controls / intervenes on
+unsafe ones, tube propagation, filtered closed loop.
+
+Invariance obligation from SURVEY.md §4: V(x⁺) ≤ α under the backup law.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gpmpc_tpu.dynamics import Rocket3DoFParams, rocket3dof as r3
+from gpmpc_tpu.safety import (
+    EllipsoidalInvariantSet,
+    EmergencyBrakingController,
+    SafetyFilterConfig,
+    SimpleSafetyFilter,
+    TubePropagator,
+    check_safety,
+    compute_from_lqr,
+    compute_maximal_alpha,
+    filter_control,
+    filter_gradient,
+    hover_backup_3dof,
+    simulate_filtered,
+)
+
+DT = 0.1
+
+
+@pytest.fixture(scope="module")
+def setup():
+    p = Rocket3DoFParams(T_min=0.3, T_max=6.0)
+    backup = hover_backup_3dof(p, altitude=5.0, dt=DT)
+    step = lambda x, u: r3.step(p, x, u, DT)
+    inv = compute_from_lqr(backup.P, backup.x_eq, alpha=50.0)
+    cfg = SafetyFilterConfig(N=10, dt=DT, u_min=jnp.array([0.3, -6.0, -6.0]),
+                             u_max=jnp.array([6.0, 6.0, 6.0]))
+    return p, backup, step, inv, cfg
+
+
+class TestBackup:
+    def test_lqr_stabilizes_hover(self, setup):
+        p, backup, step, inv, cfg = setup
+        x = backup.x_eq + jnp.array([0.0, 1.0, 0.5, -0.5, 0.5, 0.2, -0.1])
+        X = backup.rollout(step, x, 60)
+        e0 = jnp.linalg.norm(X[0, 1:7] - backup.x_eq[1:7])
+        eN = jnp.linalg.norm(X[-1, 1:7] - backup.x_eq[1:7])
+        assert float(eN) < 0.2 * float(e0)
+
+    def test_lyapunov_decreases_under_backup(self, setup):
+        """The invariance certificate: V decreases along backup rollouts
+        inside the set."""
+        p, backup, step, inv, cfg = setup
+        x = backup.x_eq + 0.3 * jnp.array([0.0, 1.0, 1.0, -1.0, 1.0, 0.5, -0.5])
+        V = [float(backup.lyapunov_value(x))]
+        for _ in range(30):
+            x = step(x, backup.control(x))
+            V.append(float(backup.lyapunov_value(x)))
+        assert V[-1] < 0.3 * V[0]
+
+    def test_emergency_braking_opposes_velocity(self):
+        b = EmergencyBrakingController(T_max=6.0, g_I=jnp.array([-1.0, 0, 0]))
+        x = jnp.array([2.0, 10.0, 0, 0, -3.0, 2.0, 0.0])
+        u = b.control(x)
+        # decelerates: thrust component against velocity
+        assert float(u[0]) > 0  # up against falling
+        assert float(u[1]) < 0  # against +y drift
+        assert float(jnp.linalg.norm(u)) <= 6.0 + 1e-4
+
+
+class TestInvariantSet:
+    def test_membership_and_projection(self, setup):
+        _, backup, _, inv, _ = setup
+        assert bool(inv.contains(backup.x_eq))
+        x_out = backup.x_eq + 100.0 * jnp.ones(7)
+        assert not bool(inv.contains(x_out))
+        x_proj = inv.project(x_out)
+        np.testing.assert_allclose(float(inv.value(x_proj)), float(inv.alpha), rtol=1e-3)
+
+    def test_boundary_samples_on_level_set(self, setup):
+        _, backup, _, inv, _ = setup
+        pts = inv.sample_boundary(jax.random.PRNGKey(0), 64)
+        vals = jax.vmap(inv.value)(pts)
+        np.testing.assert_allclose(vals, float(inv.alpha), rtol=1e-3)
+
+    def test_maximal_alpha_respects_constraint(self, setup):
+        _, backup, _, _, _ = setup
+        # constraint: altitude error within ±3  →  (x1 − 5)² ≤ 9
+        cfn = lambda x: jnp.abs(x[1] - 5.0) - 3.0
+        alpha = compute_maximal_alpha(
+            backup.P, backup.x_eq, cfn, jax.random.PRNGKey(0), n_samples=128
+        )
+        assert float(alpha) > 0
+        inv = EllipsoidalInvariantSet(P=backup.P, x_eq=backup.x_eq, alpha=alpha)
+        pts = inv.sample_boundary(jax.random.PRNGKey(1), 128)
+        assert float(jax.vmap(cfn)(pts).max()) <= 1e-2
+
+
+class TestSafetyFilter:
+    def test_safe_control_passes_through(self, setup):
+        p, backup, step, inv, cfg = setup
+        x = backup.x_eq + jnp.array([0.0, 0.2, 0.1, 0.0, 0.0, 0.0, 0.0])
+        u_nom = backup.control(x)  # the backup's own control is surely safe
+        res = filter_control(step, backup, inv, cfg, x, u_nom)
+        assert bool(res.safe)
+        assert not bool(res.intervened)
+        np.testing.assert_allclose(res.u, u_nom, atol=1e-6)
+
+    def test_unsafe_control_triggers_intervention(self, setup):
+        p, backup, step, inv, cfg = setup
+        # short horizon so u0 dominates the terminal Lyapunov value; pick
+        # alpha inside the window (V_backup/margin, V_bad): interventions
+        # are then both required and feasible
+        cfg = cfg.replace(N=2)
+        x = backup.x_eq + jnp.array([0.0, 0.5, 0.0, 0.0, -0.5, 0.0, 0.0])
+        u_bad = jnp.array([0.3, 6.0, -6.0])  # hard lateral kick at min lift
+        _, V_backup = check_safety(step, backup, inv, cfg, x, backup.control(x))
+        _, V_bad = check_safety(step, backup, inv, cfg, x, u_bad)
+        inv_tight = inv.replace(alpha=0.5 * (V_backup / cfg.alpha_margin + V_bad))
+        safe, V = check_safety(step, backup, inv_tight, cfg, x, u_bad)
+        assert not bool(safe)
+        res = filter_control(step, backup, inv_tight, cfg, x, u_bad)
+        assert bool(res.intervened)
+        # the filtered control must be strictly safer than the bad one
+        _, V_filtered = check_safety(step, backup, inv_tight, cfg, x, res.u)
+        assert float(V_filtered) < float(V)
+
+    def test_gradient_fallback(self, setup):
+        p, backup, step, inv, cfg = setup
+        cfg = cfg.replace(N=2)
+        x = backup.x_eq + jnp.array([0.0, 0.5, 0.0, 0.0, -0.5, 0.0, 0.0])
+        u_bad = jnp.array([0.3, 6.0, -6.0])
+        _, V_backup = check_safety(step, backup, inv, cfg, x, backup.control(x))
+        _, V_bad = check_safety(step, backup, inv, cfg, x, u_bad)
+        inv_tight = inv.replace(alpha=0.5 * (V_backup / cfg.alpha_margin + V_bad))
+        res = filter_gradient(step, backup, inv_tight, cfg, x, u_bad, steps=60)
+        _, V_bad = check_safety(step, backup, inv_tight, cfg, x, u_bad)
+        _, V_f = check_safety(step, backup, inv_tight, cfg, x, res.u)
+        assert float(V_f) < float(V_bad)
+
+    def test_filtered_simulation_stays_bounded(self, setup):
+        p, backup, step, inv, cfg = setup
+        x0 = backup.x_eq + jnp.array([0.0, 1.0, 0.5, 0.0, 0.0, 0.0, 0.0])
+        # adversarial nominal controller: constant lateral push
+        ctrl = lambda x, k: jnp.array([2.0, 4.0, 0.0])
+        out = jax.jit(
+            lambda x: simulate_filtered(step, backup, inv, cfg, ctrl, x, 50)
+        )(x0)
+        assert int(out["n_interventions"]) > 0
+        # with the filter, the state stays in a bounded region
+        assert float(jnp.abs(out["X"][:, 2]).max()) < 20.0
+
+    def test_simple_filter_clamps(self):
+        f = SimpleSafetyFilter(u_min=jnp.array([0.3, -5.0, -5.0]),
+                               u_max=jnp.array([5.0, 5.0, 5.0]))
+        res = f.filter(jnp.zeros(7), jnp.array([10.0, 0.0, 0.0]))
+        np.testing.assert_allclose(res.u, jnp.array([5.0, 0.0, 0.0]))
+        assert bool(res.intervened)
+
+
+class TestTube:
+    def test_gp_driven_tube(self):
+        A = jnp.tile(0.9 * jnp.eye(7), (10, 1, 1))
+        tp = TubePropagator()
+        gp_vars = jnp.full((10, 3), 0.04)
+        e = tp.propagate_gp(A, gp_vars)
+        assert e.shape == (11, 7)
+        # only velocity slice receives noise; positions stay zero with this A
+        assert float(e[:, 4:7].max()) > 0
+        assert float(e[0].max()) == 0.0
+
+    def test_mc_tube_quantile(self):
+        p = Rocket3DoFParams()
+        step = lambda x, u: r3.step(p, x, u, DT)
+        x0 = jnp.array([2.0, 20.0, 0, 0, -2.0, 0, 0])
+        U = jnp.tile(jnp.array([2.0, 0.0, 0.0]), (5, 1))
+        X_nom = r3.simulate(p, x0, U, DT)
+        tp = TubePropagator()
+        noise = jnp.full(7, 0.01)
+        widths = tp.propagate_monte_carlo(
+            jax.random.PRNGKey(0), step, X_nom, U, noise, n_particles=128
+        )
+        assert widths.shape == (6, 7)
+        assert bool(jnp.all(widths[1:] > 0))
