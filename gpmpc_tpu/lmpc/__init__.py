@@ -1,0 +1,25 @@
+"""LMPC layer (reference surface: ``src/lmpc/__init__.py:31-40``)."""
+
+from .lmpc import (
+    LMPCConfig,
+    LMPCSolution,
+    LMPCState,
+    SimpleLMPC,
+    default_stage_cost,
+    lmpc_init,
+    lmpc_solve,
+    run_episode,
+    run_iterations,
+)
+
+__all__ = [
+    "LMPCConfig",
+    "LMPCSolution",
+    "LMPCState",
+    "SimpleLMPC",
+    "default_stage_cost",
+    "lmpc_init",
+    "lmpc_solve",
+    "run_episode",
+    "run_iterations",
+]

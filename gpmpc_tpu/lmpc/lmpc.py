@@ -1,0 +1,296 @@
+"""Learning MPC (Rosolia–Borrelli) with sampled safe sets.
+
+TPU-native counterpart of ``/root/reference/src/lmpc/lmpc.py``: per-solve KNN
+terminal-vertex query with fuel filtering (``:267-284``), an MPC problem with
+the convex-hull terminal constraint x_N ∈ Conv(SS_local) in λ-form with soft
+slack (``:314-329``), terminal cost Q_valuesᵀλ (``:342-345``), warm start
+with λ initialized at the nearest vertex (``:348-363``), and the episode
+runner that adds successful trajectories back into the safe set
+(``:472-542``).
+
+Where the reference builds a CasADi NLP per solve (``:366-399``), here the
+problem is the shared dense ADMM QP with a λ/slack block appended to the
+decision vector, linearized along the shifted previous trajectory (RTI
+style) — one fixed-shape program that vmaps over scenario batches and whose
+safe set grows inside the episode scan.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from ..dynamics.linearize import trajectory_jacobians
+from ..ops.qp import (
+    ADMMConfig,
+    SOLVED,
+    QPData,
+    build_constraints,
+    build_cost,
+    join_z,
+    solve,
+    split_z,
+)
+from ..terminal.convex_hull import hull_constraint_rows
+from ..terminal.local_safe_set import knn_query
+from ..terminal.safe_set import SafeSet
+
+Array = jax.Array
+
+
+@struct.dataclass
+class LMPCConfig:
+    """(mirrors ``LMPCConfig``: N=15, n_terminal_vertices=10, slack 1e4)."""
+
+    N: int = struct.field(pytree_node=False, default=15)
+    dt: float = 0.1
+    n_x: int = struct.field(pytree_node=False, default=7)
+    n_u: int = struct.field(pytree_node=False, default=3)
+    n_terminal_vertices: int = struct.field(pytree_node=False, default=10)
+    # slack/reg weights are multiples of the local Q-value span (see
+    # lmpc_solve: the raw cost-to-go values are O(1e4-1e5), so absolute
+    # weights like the reference's 1e4 (lmpc.py:314-329) would make the hull
+    # effectively soft; span-relative weights keep it near-hard)
+    slack_weight: float = 10.0
+    lambda_reg: float = 1e-2
+    feasibility_tol: float = 1e-2
+    Q: Array = struct.field(
+        default_factory=lambda: jnp.diag(jnp.array([0.0, 10.0, 10.0, 10.0, 1.0, 1.0, 1.0]))
+    )
+    R: Array = struct.field(default_factory=lambda: jnp.eye(3) * 0.01)
+    x_min: Array = struct.field(
+        default_factory=lambda: jnp.array([-1e20, -100.0, -100.0, -100.0, -50.0, -50.0, -50.0])
+    )
+    x_max: Array = struct.field(
+        default_factory=lambda: jnp.array([1e20, 500.0, 100.0, 100.0, 50.0, 50.0, 50.0])
+    )
+    u_min: Array = struct.field(default_factory=lambda: jnp.array([0.3, -5.0, -5.0]))
+    u_max: Array = struct.field(default_factory=lambda: jnp.array([5.0, 5.0, 5.0]))
+    admm: ADMMConfig = struct.field(
+        default_factory=lambda: ADMMConfig(max_iter=400, polish=True)
+    )
+    m_dry: float = 1.0
+    fuel_margin: float = 0.0
+
+
+class LMPCSolution(NamedTuple):
+    """(mirrors ``LMPCSolution``)."""
+
+    X_opt: Array
+    U_opt: Array
+    u0: Array
+    lam: Array
+    terminal_q: Array
+    success: Array
+    slack_norm: Array
+
+
+@struct.dataclass
+class LMPCState:
+    """Warm-start carry across control steps."""
+
+    X_lin: Array
+    U_lin: Array
+    x_ref: Array
+    rho: Array
+
+
+def lmpc_init(config: LMPCConfig, x0: Array, x_target: Array) -> LMPCState:
+    N = config.N
+    alphas = jnp.linspace(0.0, 1.0, N + 1)[:, None]
+    return LMPCState(
+        X_lin=(1 - alphas) * x0[None] + alphas * x_target[None],
+        U_lin=jnp.tile(jnp.zeros(config.n_u).at[0].set(x0[0]), (N, 1)),
+        x_ref=jnp.tile(x_target, (N + 1, 1)),
+        rho=jnp.asarray(config.admm.rho),
+    )
+
+
+def lmpc_solve(
+    step_fn: Callable[[Array, Array], Array],
+    config: LMPCConfig,
+    safe_set: SafeSet,
+    state: LMPCState,
+    x0: Array,
+) -> Tuple[LMPCSolution, LMPCState]:
+    """One receding-horizon LMPC solve (``lmpc.py:244-399``)."""
+    N, n_x, n_u, K = config.N, config.n_x, config.n_u, config.n_terminal_vertices
+    nz = (N + 1) * n_x + N * n_u
+    n_ext = nz + K + n_x
+
+    # re-anchor: forward-simulate the warm-start controls from the measured
+    # state so the linearization trajectory is dynamically consistent (the
+    # same re-anchoring the GP-MPC SCP does; without it the interpolated
+    # init makes every early QP primal-infeasible)
+    def roll(x, u):
+        xn = step_fn(x, u)
+        return xn, xn
+
+    _, X_roll = jax.lax.scan(roll, x0, state.U_lin)
+    X_sim = jnp.concatenate([x0[None], X_roll], axis=0)
+
+    # terminal vertex set around the predicted terminal state, fuel-filtered
+    fuel_avail = x0[0] - config.m_dry - config.fuel_margin
+    res = knn_query(safe_set, X_sim[-1], K, fuel_available=fuel_avail)
+
+    # RTI-style linearization
+    Aks, Bks, cks = trajectory_jacobians(step_fn, X_sim, state.U_lin)
+    state = state.replace(X_lin=X_sim)
+
+    # base QP (terminal tracking cost removed — the hull Q term replaces it)
+    P_base, q_base = build_cost(
+        N, config.Q, config.R, jnp.zeros((n_x, n_x)), state.x_ref
+    )
+    A_base, l_base, u_base = build_constraints(
+        Aks, Bks, cks, x0, config.x_min, config.x_max, config.u_min, config.u_max
+    )
+
+    # extended problem with [λ; s]. The terminal cost Qᵀλ is shifted by the
+    # minimum valid Q — exact under Σλ = 1 — so the solver sees only the
+    # O(span) cost *differences*, not the huge absolute cost-to-go level.
+    A_hull, l_hull, u_hull, q_lam = hull_constraint_rows(
+        res.states, res.q_values, res.valid, nz, xN_offset=nz - n_x, soft=True
+    )
+    q_min = jnp.min(jnp.where(res.valid, q_lam, jnp.inf))
+    q_shift = jnp.where(res.valid, q_lam - q_min, 0.0)
+    span = jnp.maximum(jnp.max(q_shift), 1.0)
+    P = jnp.zeros((n_ext, n_ext))
+    P = P.at[:nz, :nz].set(P_base)
+    P = P.at[nz : nz + K, nz : nz + K].set(config.lambda_reg * span * jnp.eye(K))
+    P = P.at[nz + K :, nz + K :].set(config.slack_weight * span * jnp.eye(n_x))
+    q = jnp.concatenate([q_base, q_shift, jnp.zeros(n_x)])
+    m_base = A_base.shape[0]
+    A = jnp.zeros((m_base + A_hull.shape[0], n_ext))
+    A = A.at[:m_base, :nz].set(A_base)
+    A = A.at[m_base:, :].set(A_hull)
+    l = jnp.concatenate([l_base, l_hull])
+    u = jnp.concatenate([u_base, u_hull])
+
+    # warm start: shifted trajectory + λ at the nearest valid vertex
+    lam0 = jax.nn.one_hot(jnp.argmin(
+        jnp.where(res.valid, res.distances, jnp.inf)), K)
+    z0 = jnp.concatenate([join_z(state.X_lin, state.U_lin), lam0, jnp.zeros(n_x)])
+
+    sol = solve(QPData(P=P, q=q, A=A, l=l, u=u), z0, None, config.admm, rho0=state.rho)
+    # acceptance: primal-feasible plans are usable even when the dual is not
+    # yet tight (ADMM on the near-LP λ block converges primal-first); also
+    # require at least one usable vertex
+    ok = (
+        ((sol.status == SOLVED) | (sol.pri_res <= config.feasibility_tol))
+        & jnp.any(res.valid)
+    )
+    X_new, U_new = split_z(sol.x[:nz], N, n_x, n_u)
+    lam = sol.x[nz : nz + K]
+    slack = sol.x[nz + K :]
+
+    X_opt = jnp.where(ok, X_new, state.X_lin)
+    U_opt = jnp.where(ok, U_new, state.U_lin)
+    X_shift = jnp.concatenate([X_opt[1:], X_opt[-1:]], axis=0)
+    U_shift = jnp.concatenate([U_opt[1:], U_opt[-1:]], axis=0)
+
+    new_state = state.replace(
+        X_lin=X_shift, U_lin=U_shift, rho=sol.rho
+    )
+    return (
+        LMPCSolution(
+            X_opt=X_opt,
+            U_opt=U_opt,
+            u0=U_opt[0],
+            lam=lam,
+            terminal_q=q_lam @ lam,
+            success=ok,
+            slack_norm=jnp.linalg.norm(slack),
+        ),
+        new_state,
+    )
+
+
+def default_stage_cost(x: Array, u: Array, x_target: Array, config: LMPCConfig) -> Array:
+    e = x - x_target
+    return e @ config.Q @ e + u @ config.R @ u
+
+
+def run_episode(
+    step_fn: Callable[[Array, Array], Array],
+    config: LMPCConfig,
+    safe_set: SafeSet,
+    x0: Array,
+    x_target: Array,
+    max_steps: int,
+    landing_altitude: float = 0.1,
+    stage_cost_fn: Optional[Callable] = None,
+) -> Tuple[dict, SafeSet]:
+    """Closed-loop LMPC episode; on success the realized trajectory (with its
+    cost-to-go) joins the safe set and the iteration counter advances
+    (``lmpc.py:472-542``). Fixed ``max_steps`` with frozen lanes."""
+    cost_fn = stage_cost_fn or (lambda x, u: default_stage_cost(x, u, x_target, config))
+    state0 = lmpc_init(config, x0, x_target)
+
+    def body(carry, _):
+        x, st, landed, steps = carry
+        sol, st_new = lmpc_solve(step_fn, config, safe_set, st, x)
+        x_next = step_fn(x, sol.u0)
+        now_landed = x_next[1] < landing_altitude
+        x_out = jnp.where(landed, x, x_next)
+        st_out = jax.tree.map(lambda a, b: jnp.where(landed, a, b), st, st_new)
+        steps = steps + jnp.where(landed, 0, 1)
+        cost = jnp.where(landed, 0.0, cost_fn(x, sol.u0))
+        return (x_out, st_out, landed | now_landed, steps), (
+            x_out, jnp.where(landed, jnp.zeros_like(sol.u0), sol.u0), cost, sol.success
+        )
+
+    (x_f, _, landed, steps), (X, U, costs, qp_ok) = jax.lax.scan(
+        body, (x0, state0, jnp.asarray(False), jnp.asarray(0, jnp.int32)),
+        None, length=max_steps,
+    )
+    X_full = jnp.concatenate([x0[None], X], axis=0)
+    # landing quality gate before safe-set insertion
+    soft = jnp.linalg.norm(x_f[4:7]) < 2.0
+    success = landed & soft
+    ss_new = safe_set.add_trajectory(X_full[:-1], U, costs, valid=success)
+    return (
+        {
+            "X": X_full,
+            "U": U,
+            "x_final": x_f,
+            "landed": landed,
+            "success": success,
+            "steps": steps,
+            "total_cost": jnp.sum(costs),
+            "qp_success_rate": jnp.mean(qp_ok.astype(jnp.float32)),
+        },
+        ss_new,
+    )
+
+
+def run_iterations(
+    step_fn, config: LMPCConfig, safe_set: SafeSet, x0: Array, x_target: Array,
+    n_iterations: int, max_steps: int,
+) -> Tuple[list, SafeSet]:
+    """Iterative improvement loop: repeat episodes, each adding to the safe
+    set; returns per-iteration summaries (costs should be non-increasing —
+    the LMPC monotonicity property)."""
+    summaries = []
+    for _ in range(n_iterations):
+        out, safe_set = run_episode(
+            step_fn, config, safe_set, x0, x_target, max_steps
+        )
+        summaries.append({k: out[k] for k in ("success", "steps", "total_cost")})
+    return summaries, safe_set
+
+
+class SimpleLMPC:
+    """Reduced stand-in (``lmpc.py:561-603``): tracks the lowest-Q neighbor
+    as a receding target using a plain quadratic controller."""
+
+    def __init__(self, config: Optional[LMPCConfig] = None):
+        self.config = config or LMPCConfig()
+
+    def control(self, safe_set: SafeSet, x: Array) -> Array:
+        res = knn_query(safe_set, x, self.config.n_terminal_vertices)
+        best = jnp.argmin(jnp.where(res.valid, res.q_values, jnp.inf))
+        idx = res.indices[best]
+        return safe_set.controls[idx]

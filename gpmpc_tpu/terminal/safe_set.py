@@ -1,0 +1,206 @@
+"""Sampled safe sets with static-shape device storage.
+
+TPU-native counterpart of ``/root/reference/src/terminal/safe_set.py`` and
+``memory_safe_set.py``: trajectories enter with a backward cost-to-go
+recursion Q(x_k) = Σ_{i≥k} l_i (``safe_set.py:132-176``); all states /
+Q-values / controls / iteration ids live in preallocated flat arrays with an
+active-count mask (the reference's lazy flattened cache, ``:178-213``, is the
+*primary* representation here); pruning keeps the store bounded
+(FIFO / quality / diversity — ``memory_safe_set.py:162-248``); fuel-aware
+filtering shrinks the queryable set with the remaining budget
+(``safe_set.py:356-459``). Everything is pure state-passing and jittable, so
+safe-set growth happens inside the learning loop's scan, and multi-host
+merging is an ``all_gather`` + global prune (SURVEY.md §2.10).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+Array = jax.Array
+
+
+def cost_to_go(stage_costs: Array) -> Array:
+    """Backward recursion Q_k = Σ_{i≥k} l_i (``safe_set.py:152-176``) as a
+    reversed cumulative sum."""
+    return jnp.cumsum(stage_costs[::-1])[::-1]
+
+
+@struct.dataclass
+class SafeSet:
+    """Flat store of (state, Q, control, iteration, fuel_required, traj_id).
+
+    ``capacity`` states max; insertion is ring-buffer FIFO by default with
+    optional quality pruning (see :func:`add_trajectory`). ``fuel_required``
+    per state = state-fuel − trajectory-final-fuel (+ margin) — the
+    fuel-aware feasibility device of ``safe_set.py:356-459``.
+    """
+
+    states: Array  # (cap, n_x)
+    q_values: Array  # (cap,)
+    controls: Array  # (cap, n_u)
+    iterations: Array  # (cap,) int32 — which LMPC iteration added the state
+    fuel_required: Array  # (cap,)
+    traj_ids: Array  # (cap,) int32
+    head: Array  # () int32 next write slot
+    count: Array  # () int32 active entries
+    n_trajectories: Array  # () int32
+    best_cost: Array  # () best total trajectory cost seen
+    fuel_margin: float = 0.05
+
+    @classmethod
+    def create(cls, capacity: int, n_x: int, n_u: int = 3, fuel_margin: float = 0.05):
+        return cls(
+            states=jnp.zeros((capacity, n_x)),
+            q_values=jnp.full((capacity,), jnp.inf),
+            controls=jnp.zeros((capacity, n_u)),
+            iterations=jnp.zeros((capacity,), jnp.int32),
+            fuel_required=jnp.zeros((capacity,)),
+            traj_ids=jnp.full((capacity,), -1, jnp.int32),
+            head=jnp.asarray(0, jnp.int32),
+            count=jnp.asarray(0, jnp.int32),
+            n_trajectories=jnp.asarray(0, jnp.int32),
+            best_cost=jnp.asarray(jnp.inf),
+            fuel_margin=fuel_margin,
+        )
+
+    @property
+    def capacity(self) -> int:
+        return self.states.shape[0]
+
+    @property
+    def mask(self) -> Array:
+        return self.traj_ids >= 0
+
+    def add_trajectory(
+        self,
+        X: Array,  # (T, n_x) states
+        U: Array,  # (T, n_u) controls (final row may repeat)
+        stage_costs: Array,  # (T,)
+        valid: Optional[Array] = None,  # scalar bool — masked no-op when False
+    ) -> "SafeSet":
+        """Insert a trajectory with its cost-to-go (``safe_set.py:132-176``).
+        Fixed length T per call (pad + mask shorter episodes upstream);
+        overwrites the oldest states ring-buffer style when full."""
+        T = X.shape[0]
+        ok = jnp.asarray(True) if valid is None else valid
+        Q = cost_to_go(stage_costs)
+        fuel_req = X[:, 0] - X[-1, 0] + self.fuel_margin
+        tid = self.n_trajectories
+        idx = (self.head + jnp.arange(T)) % self.capacity
+
+        def write(arr, vals):
+            return jnp.where(ok, arr.at[idx].set(vals), arr)
+
+        return self.replace(
+            states=write(self.states, X),
+            q_values=write(self.q_values, Q),
+            controls=write(self.controls, U),
+            iterations=write(self.iterations, jnp.full(T, tid, jnp.int32)),
+            fuel_required=write(self.fuel_required, fuel_req),
+            traj_ids=write(self.traj_ids, jnp.full(T, tid, jnp.int32)),
+            head=jnp.where(ok, (self.head + T) % self.capacity, self.head),
+            count=jnp.where(ok, jnp.minimum(self.count + T, self.capacity), self.count),
+            n_trajectories=jnp.where(ok, tid + 1, tid),
+            best_cost=jnp.where(ok, jnp.minimum(self.best_cost, Q[0]), self.best_cost),
+        )
+
+    # -- queries -------------------------------------------------------------
+
+    def feasible_mask(self, fuel_available: Optional[Array] = None) -> Array:
+        """Active ∧ (fuel_required ≤ fuel_available) (``safe_set.py:420-459``)."""
+        m = self.mask
+        if fuel_available is not None:
+            m = m & (self.fuel_required <= fuel_available)
+        return m
+
+    def states_from_iteration(self, it: Array) -> Array:
+        """Boolean mask of states from a given iteration (``safe_set.py:230-246``)."""
+        return self.mask & (self.iterations == it)
+
+    def get_statistics(self) -> dict:
+        """(mirrors ``safe_set.py:295-316``)."""
+        m = self.mask
+        mf = m.astype(jnp.float32)
+        denom = jnp.maximum(jnp.sum(mf), 1.0)
+        return {
+            "n_states": self.count,
+            "n_trajectories": self.n_trajectories,
+            "capacity": self.capacity,
+            "best_cost": self.best_cost,
+            "mean_q": jnp.sum(jnp.where(m, self.q_values, 0.0)) / denom,
+            "fill_fraction": self.count / self.capacity,
+        }
+
+    # -- persistence (safe_set.py:318-347) -----------------------------------
+
+    def save(self, path: str) -> None:
+        import numpy as np
+
+        leaves, _ = jax.tree.flatten(self)
+        np.savez(path, *[np.asarray(x) for x in leaves])
+
+    def load(self, path: str) -> "SafeSet":
+        import numpy as np
+
+        data = np.load(path)
+        leaves = [jnp.asarray(data[k]) for k in data.files]
+        _, treedef = jax.tree.flatten(self)
+        return jax.tree.unflatten(treedef, leaves)
+
+
+def prune_quality(ss: SafeSet, keep: int) -> SafeSet:
+    """Keep the ``keep`` lowest-Q states (quality pruning,
+    ``memory_safe_set.py:218-248``): marks the rest inactive."""
+    score = jnp.where(ss.mask, ss.q_values, jnp.inf)
+    order = jnp.argsort(score)
+    keep_mask = jnp.zeros(ss.capacity, bool).at[order[:keep]].set(True) & ss.mask
+    return ss.replace(
+        traj_ids=jnp.where(keep_mask, ss.traj_ids, -1),
+        count=jnp.sum(keep_mask).astype(jnp.int32),
+    )
+
+
+def merge_safe_sets(sets: list[SafeSet], capacity: Optional[int] = None) -> SafeSet:
+    """Concatenate several stores and keep the best ``capacity`` states —
+    the deterministic global merge used after an ``all_gather`` of per-host
+    safe sets (SURVEY.md §2.10)."""
+    cap = capacity or sets[0].capacity
+    cat = lambda attr: jnp.concatenate([getattr(s, attr) for s in sets])
+    traj_ids = cat("traj_ids")
+    merged = sets[0].replace(
+        states=cat("states"),
+        q_values=cat("q_values"),
+        controls=cat("controls"),
+        iterations=cat("iterations"),
+        fuel_required=cat("fuel_required"),
+        traj_ids=traj_ids,
+        head=jnp.asarray(0, jnp.int32),
+        count=jnp.sum(traj_ids >= 0).astype(jnp.int32),
+        n_trajectories=sum(s.n_trajectories for s in sets),
+        best_cost=jnp.min(jnp.stack([s.best_cost for s in sets])),
+    )
+    pruned = prune_quality(merged, cap)
+    # compact down to `cap` rows (lowest-Q first)
+    score = jnp.where(pruned.mask, pruned.q_values, jnp.inf)
+    order = jnp.argsort(score)[:cap]
+    take = lambda a: a[order]
+    return pruned.replace(
+        states=take(pruned.states),
+        q_values=take(pruned.q_values),
+        controls=take(pruned.controls),
+        iterations=take(pruned.iterations),
+        fuel_required=take(pruned.fuel_required),
+        traj_ids=take(pruned.traj_ids),
+        count=jnp.sum(take(pruned.traj_ids) >= 0).astype(jnp.int32),
+    )
+
+
+# Name-parity aliases for the reference surface.
+SampledSafeSet = SafeSet
+FuelAwareSafeSet = SafeSet
+MemoryOptimizedSafeSet = SafeSet

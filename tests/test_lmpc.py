@@ -1,0 +1,90 @@
+"""LMPC tests: single solve with hull terminal constraint, episode runner
+with safe-set growth, and the headline property — iterative cost improvement
+(Q^{j+1} ≤ Q^j, SURVEY.md §4)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gpmpc_tpu.dynamics import Rocket3DoFParams, rocket3dof as r3
+from gpmpc_tpu.lmpc import LMPCConfig, lmpc_init, lmpc_solve, run_episode
+from gpmpc_tpu.terminal import SafeSet
+
+DT = 0.1
+
+
+@pytest.fixture(scope="module")
+def seeded():
+    """Safe set seeded with one feasible (suboptimal) landing trajectory —
+    the LMPC bootstrap (reference seeds from SCVX/PD rollouts)."""
+    p = Rocket3DoFParams()
+    step = lambda x, u: r3.step(p, x, u, DT)
+    xT = jnp.zeros(7).at[0].set(2.0)
+    cfg = LMPCConfig()
+
+    # simple descent-law rollout as the seed trajectory
+    x = jnp.array([2.0, 20.0, 0.5, 0.0, -2.0, 0.0, 0.0])
+    xs, us, cs = [], [], []
+    for _ in range(200):
+        v_ref = -0.7 * jnp.sqrt(jnp.maximum(x[1], 0.0))
+        u = r3.hover_thrust(p, x) + jnp.array([2.0 * (v_ref - x[4]), -1.0 * x[5] - 0.4 * x[2], -1.0 * x[6] - 0.4 * x[3]])
+        u = r3.clamp_thrust(p.replace(T_min=0.3, T_max=5.0), u)
+        xs.append(x)
+        us.append(u)
+        e = x - xT
+        cs.append(e @ cfg.Q @ e + u @ cfg.R @ u)
+        x = step(x, u)
+        if float(x[1]) < 0.05:
+            break
+    X = jnp.stack(xs)
+    U = jnp.stack(us)
+    C = jnp.stack(cs)
+    ss = SafeSet.create(1024, 7)
+    ss = ss.add_trajectory(X, U, C)
+    return p, step, xT, cfg, ss, (X, U, C)
+
+
+class TestLMPCSolve:
+    def test_single_solve(self, seeded):
+        p, step, xT, cfg, ss, (X, U, C) = seeded
+        x0 = X[0]
+        st = lmpc_init(cfg, x0, xT)
+        # anchor the warm-start trajectory near the seed so the terminal
+        # query finds vertices
+        st = st.replace(X_lin=X[: cfg.N + 1], U_lin=U[: cfg.N])
+        sol, st2 = lmpc_solve(step, cfg, ss, st, x0)
+        assert bool(sol.success)
+        # λ on the simplex
+        np.testing.assert_allclose(float(sol.lam.sum()), 1.0, atol=5e-2)
+        assert float(sol.lam.min()) >= -1e-3
+        # terminal state close to the hull of stored states (small slack)
+        assert float(sol.slack_norm) < 0.5
+        # thrust bounds hold
+        assert float(sol.U_opt[:, 0].min()) >= cfg.u_min[0] - 1e-3
+
+    def test_episode_adds_to_safe_set_on_success(self, seeded):
+        p, step, xT, cfg, ss, (X, U, C) = seeded
+        n_before = int(ss.n_trajectories)
+        out, ss2 = jax.jit(
+            lambda s, x: run_episode(step, cfg, s, x, xT, 180)
+        )(ss, X[0])
+        assert bool(out["landed"]), out
+        assert int(ss2.n_trajectories) == n_before + int(bool(out["success"]))
+
+    @pytest.mark.slow
+    def test_iterative_improvement(self, seeded):
+        """The LMPC property: episode cost is non-increasing over iterations
+        (up to solver tolerance)."""
+        p, step, xT, cfg, ss, (X, U, C) = seeded
+        seed_cost = float(jnp.sum(C))
+        costs = []
+        run = jax.jit(lambda s, x: run_episode(step, cfg, s, x, xT, 180))
+        for it in range(3):
+            out, ss = run(ss, X[0])
+            assert bool(out["landed"])
+            costs.append(float(out["total_cost"]))
+        # all LMPC episodes beat the naive seed, and the last is not worse
+        # than the first beyond tolerance
+        assert costs[0] < seed_cost
+        assert costs[-1] <= costs[0] * 1.05, costs
