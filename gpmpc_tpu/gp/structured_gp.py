@@ -151,7 +151,9 @@ class StructuredRocketGP:
         kt, kr = jax.random.split(key)
 
         def fit_one(key, buf, d):
-            kernels = _stacked_kernels(cfg.kernel, d, 3)
+            kernels = _stacked_kernels(
+                cfg.kernel, d, 3, _data_lengthscales(buf.X, buf.mask)
+            )
             Z = init_inducing_points(
                 key, buf.X, min(cfg.n_inducing, buf.capacity), mask=buf.mask
             )
@@ -201,6 +203,20 @@ class StructuredRocketGP:
             jnp.concatenate([pt.variance, pr.variance], axis=1),
         )
 
+    def predict_gated(self, x: Array, u: Array) -> Tuple[Array, Array]:
+        """Variance-gated prediction: the mean is scaled by
+        w = clip(1 − σ²/σ²_prior, 0, 1) per output, so the correction fades
+        to zero where the GP has no data (prevents confident extrapolation
+        from destabilizing the controller — the control-oriented form of the
+        reference's novelty test, ``structured_gp.py:340-359``)."""
+        mean, var = self.predict(x, u)
+        prior = jnp.concatenate([
+            jnp.exp(self.trans_gp.kernels.log_variance),
+            jnp.exp(self.rot_gp.kernels.log_variance),
+        ])
+        w = jnp.clip(1.0 - var / jnp.maximum(prior, 1e-12), 0.0, 1.0)
+        return mean * w, var
+
     # -- residual lift (structured_gp.py:307-338) ---------------------------
     @staticmethod
     def lift_residual(residual6: Array, n_x: int = 14) -> Array:
@@ -235,9 +251,32 @@ class StructuredRocketGP:
         return jax.tree.unflatten(treedef, leaves)
 
 
-def _stacked_kernels(name: str, d: int, n_out: int):
+def _stacked_kernels(name: str, d: int, n_out: int, lengthscales=None):
+    """Stack n_out kernels; per-dimension ARD lengthscales default to 1 or to
+    a data-driven scale (see ``_data_lengthscales``)."""
     ks = [create_kernel(name, d) for _ in range(n_out)]
-    return jax.tree.map(lambda *xs: jnp.stack(xs), *ks)
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *ks)
+    if lengthscales is not None and hasattr(stacked, "log_lengthscales"):
+        stacked = stacked.replace(
+            log_lengthscales=jnp.tile(jnp.log(lengthscales)[None, :], (n_out, 1))
+        )
+    return stacked
+
+
+def _data_lengthscales(X: Array, mask: Array) -> Array:
+    """ARD lengthscale init ∝ per-dimension std of the active data, scaled by
+    √d (floored). Unnormalized physical features span 0–30 units; unit
+    lengthscales would make every query look "far" and collapse predictions
+    to the prior. The √d factor keeps the *total* scaled distance between
+    typical points O(1) instead of O(d), so moderate extrapolation (a couple
+    of σ in a few dimensions) still generalizes.
+    """
+    mf = mask.astype(X.dtype)
+    n = jnp.maximum(jnp.sum(mf), 1.0)
+    mu = jnp.sum(X * mf[:, None], axis=0) / n
+    var = jnp.sum(((X - mu) ** 2) * mf[:, None], axis=0) / n
+    d = X.shape[1]
+    return jnp.maximum(jnp.sqrt(var) * jnp.sqrt(float(d)), 0.1)
 
 
 @struct.dataclass
@@ -273,7 +312,10 @@ class Simple3DoFGP:
 
     def fit(self, key: Array) -> "Simple3DoFGP":
         cfg = self.config
-        kernels = _stacked_kernels(cfg.kernel, self.extractor.n_features, 3)
+        kernels = _stacked_kernels(
+            cfg.kernel, self.extractor.n_features, 3,
+            _data_lengthscales(self.buffer.X, self.buffer.mask),
+        )
         Z = init_inducing_points(
             key, self.buffer.X, min(cfg.n_inducing, self.buffer.capacity),
             mask=self.buffer.mask,
@@ -300,7 +342,25 @@ class Simple3DoFGP:
         pr = predict_sparse_multi(self.gp, F)
         return pr.mean, pr.variance
 
+    def predict_gated(self, x: Array, u: Array) -> Tuple[Array, Array]:
+        """Variance-gated mean (see ``StructuredRocketGP.predict_gated``)."""
+        mean, var = self.predict(x, u)
+        prior = jnp.exp(self.gp.kernels.log_variance)
+        w = jnp.clip(1.0 - var / jnp.maximum(prior, 1e-12), 0.0, 1.0)
+        return mean * w, var
+
     @staticmethod
     def lift_residual(residual3: Array, n_x: int = 7) -> Array:
         out = jnp.zeros(n_x, residual3.dtype)
         return out.at[4:7].set(residual3)
+
+    # persistence (mirrors structured_gp.py:375-406)
+    def save(self, path: str) -> None:
+        leaves, _ = jax.tree.flatten(self)
+        np.savez(path, *[np.asarray(x) for x in leaves])
+
+    def load(self, path: str) -> "Simple3DoFGP":
+        data = np.load(path)
+        leaves = [jnp.asarray(data[k]) for k in data.files]
+        _, treedef = jax.tree.flatten(self)
+        return jax.tree.unflatten(treedef, leaves)

@@ -1,0 +1,61 @@
+"""Learning loop layer (reference surface: ``src/learning/__init__.py:41-51``)."""
+
+from .data_manager import (
+    DataManager,
+    StreamingDataCollector,
+    TransitionStore,
+    compute_residual,
+)
+from .hyperparameter_tuner import (
+    AdaptiveHyperparameterScheduler,
+    HyperparameterConfig,
+    HyperparameterTuner,
+    tune_cv_random,
+    tune_map,
+    tune_mle,
+)
+from .novelty_selector import (
+    ActiveDataSelector,
+    NoveltyConfig,
+    NoveltySelector,
+    distance_novelty,
+    novelty_scores,
+    residual_novelty,
+    select_diverse,
+    select_threshold_mask,
+    select_top_k,
+    variance_novelty,
+)
+from .online_learner import (
+    IterativeLearningRunner,
+    LearningStatistics,
+    OnlineLearner,
+    OnlineLearningConfig,
+)
+
+__all__ = [
+    "ActiveDataSelector",
+    "AdaptiveHyperparameterScheduler",
+    "DataManager",
+    "HyperparameterConfig",
+    "HyperparameterTuner",
+    "IterativeLearningRunner",
+    "LearningStatistics",
+    "NoveltyConfig",
+    "NoveltySelector",
+    "OnlineLearner",
+    "OnlineLearningConfig",
+    "StreamingDataCollector",
+    "TransitionStore",
+    "compute_residual",
+    "distance_novelty",
+    "novelty_scores",
+    "residual_novelty",
+    "select_diverse",
+    "select_threshold_mask",
+    "select_top_k",
+    "tune_cv_random",
+    "tune_map",
+    "tune_mle",
+    "variance_novelty",
+]

@@ -109,9 +109,13 @@ def gp_mpc_solve(
     def scp_iter(carry, _):
         X_lin, U_lin, rho, dX_prev, done = carry
 
-        # linearize the augmented dynamics along (X_lin, U_lin); the GP mean
-        # enters both the Jacobians (AD through aug_step) and the affine term
-        Aks, Bks, cks = trajectory_jacobians(aug_step, X_lin, U_lin)
+        # linearize the NOMINAL dynamics; the GP mean enters only the affine
+        # defect term c_k (gp_mpc.py:299-321). Differentiating through the GP
+        # posterior (especially a variance-gated one) produces noisy Jacobians
+        # that destabilize the QP, and the reference deliberately avoids it.
+        Aks, Bks, cks_nom = trajectory_jacobians(step_fn, X_lin, U_lin)
+        gp_means = jax.vmap(gp_mean_fn)(X_lin[:-1], U_lin)
+        cks = cks_nom + dt * gp_means
 
         # uncertainty propagation + tightened per-stage box bounds
         gp_vars = jax.vmap(gp_var_fn)(X_lin[:-1], U_lin)

@@ -69,6 +69,12 @@ class RTIConfig:
         default_factory=lambda: ADMMConfig(max_iter=100, polish=True)
     )
     warm_start_duals: bool = struct.field(pytree_node=False, default=True)
+    # Re-simulate the linearization trajectory from the measured state each
+    # cycle. The reference linearizes around the previous QP solution
+    # (osqp_rti.py:539), which under plant-model mismatch drifts away from
+    # reality and makes the lateral channels chatter; re-anchoring costs one
+    # rollout and keeps the linearization honest.
+    reanchor: bool = struct.field(pytree_node=False, default=True)
 
 
 @struct.dataclass
@@ -142,6 +148,16 @@ def rti_step(
     jit/vmap/scan it freely.
     """
     N = config.N
+
+    if config.reanchor:
+        def roll(x, u):
+            xn = step_fn(x, u)
+            return xn, xn
+
+        _, X_roll = jax.lax.scan(roll, x_current, state.U_lin)
+        state = state.replace(
+            X_lin=jnp.concatenate([x_current[None], X_roll], axis=0)
+        )
 
     # preparation: linearize along the current trajectory (AD, vmapped)
     Aks, Bks, cks = trajectory_jacobians(step_fn, state.X_lin, state.U_lin)

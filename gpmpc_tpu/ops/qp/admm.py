@@ -65,8 +65,8 @@ class ADMMConfig:
     # Active-set KKT polish at exit (OSQP `polish`; reference runs with it off
     # for speed, ``osqp_rti.py:58`` — turn on for high-accuracy SCP/parity).
     polish: bool = struct.field(pytree_node=False, default=False)
-    polish_delta: float = 1e-3
-    polish_refine_iters: int = struct.field(pytree_node=False, default=4)
+    polish_delta: float = 1e-4
+    polish_refine_iters: int = struct.field(pytree_node=False, default=6)
 
 
 def _rho_vec(l: Array, u: Array, rho: Array) -> Array:

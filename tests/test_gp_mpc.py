@@ -115,7 +115,8 @@ class TestGPMPC:
             res = ResidualCollector(dt=dt).collect_batch(F_nom, X, U, Xn)
             gp = Simple3DoFGP.create(StructuredGPConfig(max_data_points=128, n_inducing=40))
             gp = gp.add_data_batch(X, U, res).fit(jax.random.PRNGKey(1))
-            mean_fn = lambda x, u: Simple3DoFGP.lift_residual(gp.predict(x, u)[0], 7)
+            # variance-gated mean: fade the correction outside the data
+            mean_fn = lambda x, u: Simple3DoFGP.lift_residual(gp.predict_gated(x, u)[0], 7)
             var_fn = lambda x, u: gp.predict(x, u)[1]
         else:
             mean_fn = lambda x, u: jnp.zeros(7)
