@@ -121,7 +121,7 @@ def classify_touchdown(x: Array, criteria: LandingCriteria) -> Array:
 def run_episode(
     controller_init: Callable[[Array], object],
     controller_step: Callable[[object, Array, Array], Tuple[Array, object]],
-    plant_step: Callable[[Array, Array], Array],
+    plant_step,
     x0: Array,
     sim: SimulationConfig,
     criteria: LandingCriteria,
@@ -129,15 +129,27 @@ def run_episode(
     """One full episode under lockstep scan with an outcome state machine
     (the single-scenario core of ``MonteCarloSimulator.run_single``,
     ``monte_carlo.py:401-583``). vmap over ``x0`` (and any batched controller
-    state) for a campaign."""
+    state) for a campaign.
+
+    ``plant_step`` is either a stateless ``f(x, u) -> x_next`` or a stateful
+    pair ``(plant_init(x0) -> pstate, pstep(pstate, x, u) -> (x_next,
+    pstate))`` — the hook for ``DispersedDynamics``-style fault injection
+    whose noise state rides in the scan carry.
+    """
+    if isinstance(plant_step, tuple):
+        plant_init, pstep = plant_step
+    else:
+        plant_init = lambda x0: jnp.zeros(0)
+        pstep = lambda ps, x, u: (plant_step(x, u), ps)
     cstate0 = controller_init(x0)
+    pstate0 = plant_init(x0)
 
     def body(carry, k):
-        x, cstate, outcome, steps, fuel0 = carry
+        x, cstate, pstate, outcome, steps, fuel0 = carry
         running = outcome == RUNNING
 
         u, cstate_new = controller_step(cstate, x, k)
-        x_next = plant_step(x, u)
+        x_next, pstate_new = pstep(pstate, x, u)
 
         # termination checks, in the reference's priority order
         diverged = (~jnp.all(jnp.isfinite(x_next))) | (
@@ -160,12 +172,16 @@ def run_episode(
         cstate_out = jax.tree.map(
             lambda new, old: jnp.where(running, new, old), cstate_new, cstate
         )
+        pstate_out = jax.tree.map(
+            lambda new, old: jnp.where(running, new, old), pstate_new, pstate
+        )
         steps = steps + jnp.where(running, 1, 0)
-        return (x_out, cstate_out, outcome, steps, fuel0), (x_out, u)
+        return (x_out, cstate_out, pstate_out, outcome, steps, fuel0), (x_out, u)
 
     fuel0 = x0[0]
-    init = (x0, cstate0, jnp.asarray(RUNNING, jnp.int32), jnp.asarray(0, jnp.int32), fuel0)
-    (x_f, _, outcome, steps, _), (X, U) = jax.lax.scan(
+    init = (x0, cstate0, pstate0, jnp.asarray(RUNNING, jnp.int32),
+            jnp.asarray(0, jnp.int32), fuel0)
+    (x_f, _, _, outcome, steps, _), (X, U) = jax.lax.scan(
         body, init, jnp.arange(sim.max_steps)
     )
     outcome = jnp.where(outcome == RUNNING, TIMEOUT, outcome)

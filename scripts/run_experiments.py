@@ -1,0 +1,166 @@
+#!/usr/bin/env python
+"""End-to-end experiment suite CLI.
+
+Mirrors ``/root/reference/scripts/run_experiments.py``: argparse presets
+``--quick/--standard/--full/--custom`` (``:317-338``), the canonical scenario
+(dt=0.1, 30 m altitude, −3 m/s descent, ``:356-371``), Monte Carlo →
+baselines → dispersion sweep → figures → CSV/JSON/LaTeX export
+(``:373-389``) — but every campaign is one jitted vmapped program sharded
+over all local devices.
+
+Usage:
+  python scripts/run_experiments.py --quick [--tpu] [--out results/]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    g = ap.add_mutually_exclusive_group()
+    g.add_argument("--quick", action="store_true", help="64 runs, MPC + 2 baselines")
+    g.add_argument("--standard", action="store_true", help="256 runs, all baselines + dispersion")
+    g.add_argument("--full", action="store_true", help="1024 runs, everything")
+    g.add_argument("--custom", type=int, metavar="N_RUNS")
+    ap.add_argument("--tpu", action="store_true", help="run on the ambient TPU backend")
+    ap.add_argument("--out", default=None, help="output directory (default: results/<ts>)")
+    ap.add_argument("--config", default="config", help="config YAML directory")
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args()
+
+    import jax
+
+    if not args.tpu:
+        os.environ.setdefault("JAX_PLATFORMS", "cpu")
+        jax.config.update("jax_platforms", "cpu")
+
+    import jax.numpy as jnp
+
+    from gpmpc_tpu.dynamics import rocket3dof as r3
+    from gpmpc_tpu.experiments import (
+        DispersionConfig,
+        PerformanceMetrics,
+        ResultsExporter,
+        SimulationConfig,
+        create_baseline_controllers,
+        create_summary_figure,
+        make_dispersed_plant,
+        run_campaign,
+        sample_initial_conditions,
+        summarize,
+        campaign_statistics,
+    )
+    from gpmpc_tpu.mpc import RTIConfig, make_rti_controller
+    from gpmpc_tpu.reference import cubic_descent_reference
+    from gpmpc_tpu.utils import RunLogger, load_experiment_config
+
+    n_runs = 64 if args.quick else 256 if args.standard else 1024 if args.full else (args.custom or 64)
+    do_dispersion = args.standard or args.full
+    out_dir = args.out or os.path.join("results", time.strftime("%Y%m%d_%H%M%S"))
+    os.makedirs(out_dir, exist_ok=True)
+    log = RunLogger(os.path.join(out_dir, "run.jsonl"))
+    log.log("start", n_runs=n_runs, devices=[str(d) for d in jax.devices()])
+
+    cfg = load_experiment_config(args.config)
+    params = cfg["rocket_params"]
+    rti_cfg = cfg["mpc_config"] if isinstance(cfg["mpc_config"], RTIConfig) else RTIConfig()
+
+    # canonical scenario (run_experiments.py:356-371)
+    sim = SimulationConfig(
+        max_steps=200, dt=rti_cfg.dt,
+        altitude_mean=30.0, altitude_std=2.0,
+        vertical_velocity_mean=-3.0,
+        m_dry=float(params.m_dry),
+    )
+    xT = jnp.zeros(7).at[0].set(float(params.m_wet))
+    x0s = sample_initial_conditions(jax.random.PRNGKey(args.seed), sim, n_runs)
+    plant = lambda x, u: r3.step(params, x, u, sim.dt)
+
+    # controllers: RTI-MPC (the GP-MPC stand-in, run_experiments.py:75-87) + baselines
+    F = plant
+    ref_fn = lambda x0: cubic_descent_reference(x0, xT, 140, sim.dt)
+    controllers = {
+        "rti_mpc": make_rti_controller(F, rti_cfg, xT, reference_fn=ref_fn,
+                                       ref_horizon=180),
+    }
+    baseline_names = ("gravity_turn", "pid") if args.quick else None
+    controllers.update(
+        create_baseline_controllers(params, xT, sim.dt, include=baseline_names)
+    )
+
+    metrics, results_by_name = [], {}
+    for name, (cinit, cstep) in controllers.items():
+        t0 = time.time()
+        res = jax.jit(
+            lambda xs: run_campaign(cinit, cstep, plant, xs, sim)
+        )(x0s)
+        jax.block_until_ready(res["outcome"])
+        stats = campaign_statistics(res)
+        print(f"\n=== {name} ({time.time()-t0:.1f}s) ===")
+        print(summarize(stats))
+        m = PerformanceMetrics.from_results(name, res)
+        metrics.append(m)
+        results_by_name[name] = res
+        log.log("campaign", controller=name, success_rate=m.success_rate,
+                wall_s=round(time.time() - t0, 2))
+
+    # dispersion sweep on the MPC controller (stateful dispersed plant: each
+    # scenario derives its own noise key from its initial condition)
+    if do_dispersion:
+        cinit, cstep = controllers["rti_mpc"]
+        for level in ("low", "medium", "high"):
+            dcfg = DispersionConfig.preset(level)
+            dinit, dstep = make_dispersed_plant(plant, dcfg, sim.dt)
+
+            def plant_init(x0, _di=dinit):
+                key = jax.random.fold_in(
+                    jax.random.PRNGKey(args.seed + 1),
+                    (jnp.abs(x0 * 1e3).sum()).astype(jnp.int32),
+                )
+                return _di(key)
+
+            res = jax.jit(
+                lambda xs: run_campaign(
+                    cinit, cstep, (plant_init, dstep), xs, sim
+                )
+            )(x0s[: min(64, n_runs)])
+            m = PerformanceMetrics.from_results(f"rti_mpc_disp_{level}", res)
+            metrics.append(m)
+            print(f"\n=== dispersion {level}: success {m.success_rate:.1%} ===")
+            log.log("dispersion", level=level, success_rate=m.success_rate)
+
+    # exports (analysis.py:274-478)
+    exp = ResultsExporter()
+    with open(os.path.join(out_dir, "metrics.csv"), "w") as f:
+        f.write(exp.to_csv(metrics))
+    with open(os.path.join(out_dir, "metrics.json"), "w") as f:
+        f.write(exp.to_json(metrics))
+    with open(os.path.join(out_dir, "metrics.tex"), "w") as f:
+        f.write(exp.to_latex(metrics))
+    with open(os.path.join(out_dir, "report.txt"), "w") as f:
+        f.write(exp.to_prose(metrics))
+
+    # figures
+    try:
+        create_summary_figure(
+            {k: v for k, v in results_by_name["rti_mpc"].items()},
+            path=os.path.join(out_dir, "summary.png"),
+        )
+    except Exception as e:  # plotting must never fail the campaign
+        log.log("figure_error", error=str(e))
+
+    log.log("done", out_dir=out_dir)
+    print(f"\nresults written to {out_dir}")
+    # success criterion: the MPC controller must dominate the naive baselines
+    mpc = next(m for m in metrics if m.name == "rti_mpc")
+    return 0 if mpc.success_rate >= 0.9 else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

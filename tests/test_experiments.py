@@ -1,0 +1,326 @@
+"""Experiments-suite tests: baselines, dispersion/fault injection, ablation,
+analysis/statistics, visualization smoke, SCVX, trajectory library, config
+loader, profiler, checkpointing."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gpmpc_tpu.dynamics import Rocket3DoFParams, rocket3dof as r3
+from gpmpc_tpu.experiments import (
+    DispersionConfig,
+    PerformanceMetrics,
+    ResultsExporter,
+    SimulationConfig,
+    WindConfig,
+    create_baseline_controllers,
+    dispersion_ellipse,
+    make_dispersed_plant,
+    run_campaign,
+    run_simple_ablation,
+    sample_initial_conditions,
+    two_proportion_z_test,
+    welch_t_test,
+    wind_velocity,
+)
+from gpmpc_tpu.experiments.dispersion import WIND_DRYDEN, WIND_GUST
+from gpmpc_tpu.reference import (
+    SCVXConfig,
+    SimpleSCVX,
+    Trajectory,
+    TrajectoryLibrary,
+    scvx_free_time,
+    scvx_solve,
+)
+
+DT = 0.1
+
+
+@pytest.fixture(scope="module")
+def p3():
+    return Rocket3DoFParams()
+
+
+class TestBaselines:
+    def test_all_controllers_run_campaign(self, p3):
+        sim = SimulationConfig(max_steps=250, altitude_mean=12.0, altitude_std=0.5)
+        x0s = sample_initial_conditions(jax.random.PRNGKey(0), sim, 8)
+        xT = jnp.zeros(7).at[0].set(2.0)
+        plant = lambda x, u: r3.step(p3, x, u, DT)
+        ctrls = create_baseline_controllers(p3, xT, DT)
+        rates = {}
+        for name, (ci, cs) in ctrls.items():
+            res = jax.jit(lambda xs: run_campaign(ci, cs, plant, xs, sim))(x0s)
+            rates[name] = float(jnp.mean((res["outcome"] == 0)))
+        # closed-loop baselines beat free fall
+        assert rates["gravity_turn"] > rates["open_loop_freefall"]
+        assert rates["open_loop_freefall"] == 0.0
+        assert rates["pid"] > 0.5, rates
+
+    def test_lqr_controller_hovers(self, p3):
+        from gpmpc_tpu.experiments import make_lqr_controller
+
+        xT = jnp.array([2.0, 5.0, 0, 0, 0, 0, 0])
+        ci, cs = make_lqr_controller(p3, xT, DT)
+        x = xT + jnp.array([0.0, 1.0, 0.5, 0.0, 0.0, 0.0, 0.0])
+        c = ci(x)
+        for k in range(60):
+            u, c = cs(c, x, jnp.asarray(k))
+            x = r3.step(p3, x, u, DT)
+        assert float(jnp.linalg.norm(x[1:7] - xT[1:7])) < 0.3
+
+
+class TestDispersion:
+    def test_wind_models(self):
+        for model, cfg in [
+            (WIND_GUST, WindConfig(model=WIND_GUST, gust_amplitude=1.0)),
+            (WIND_DRYDEN, WindConfig(model=WIND_DRYDEN, dryden_sigma=0.5)),
+        ]:
+            w, st = wind_velocity(cfg, jax.random.PRNGKey(0), jnp.asarray(1.0),
+                                  jnp.zeros(3))
+            assert w.shape == (3,)
+            assert bool(jnp.all(jnp.isfinite(w)))
+
+    def test_dryden_is_colored_noise(self):
+        cfg = WindConfig(model=WIND_DRYDEN, dryden_sigma=0.5, dryden_tau=2.0)
+        st = jnp.zeros(3)
+        ws = []
+        for k in range(100):
+            w, st = wind_velocity(cfg, jax.random.PRNGKey(k), jnp.asarray(k * 0.1), st)
+            ws.append(w)
+        W = np.asarray(jnp.stack(ws))
+        # autocorrelation at lag 1 is high (colored, not white)
+        a = W[:-1, 1] - W[:-1, 1].mean()
+        b = W[1:, 1] - W[1:, 1].mean()
+        rho = (a * b).mean() / max(a.std() * b.std(), 1e-9)
+        assert rho > 0.5
+
+    def test_dispersed_plant_perturbs(self, p3):
+        plant = lambda x, u: r3.step(p3, x, u, DT)
+        dinit, dstep = make_dispersed_plant(plant, DispersionConfig.high(), DT)
+        d = dinit(jax.random.PRNGKey(0))
+        x = jnp.array([2.0, 20.0, 0, 0, -2.0, 0, 0])
+        u = jnp.array([2.0, 0, 0])
+        x_nom = plant(x, u)
+        x_disp, d = dstep(d, x, u)
+        assert float(jnp.max(jnp.abs(x_disp - x_nom))) > 1e-5
+        # nominal preset is a no-op up to thrust-scale=1, wind=0
+        dinit0, dstep0 = make_dispersed_plant(plant, DispersionConfig.nominal(), DT)
+        d0 = dinit0(jax.random.PRNGKey(0))
+        x_d0, _ = dstep0(d0, x, u)
+        np.testing.assert_allclose(x_d0, x_nom, atol=1e-6)
+
+    def test_stateful_plant_in_campaign(self, p3):
+        """Fault injection through the Monte-Carlo engine: high dispersion
+        must not beat the nominal success rate."""
+        from tests.test_monte_carlo import make_hover_descent_controller
+
+        sim = SimulationConfig(max_steps=250, altitude_mean=15.0, altitude_std=0.5)
+        x0s = sample_initial_conditions(jax.random.PRNGKey(1), sim, 16)
+        ci, cs = make_hover_descent_controller(p3)
+        plant = lambda x, u: r3.step(p3, x, u, DT)
+        res_nom = jax.jit(lambda xs: run_campaign(ci, cs, plant, xs, sim))(x0s)
+
+        dinit, dstep = make_dispersed_plant(plant, DispersionConfig.high(), DT)
+        pinit = lambda x0: dinit(
+            jax.random.fold_in(jax.random.PRNGKey(2),
+                               (jnp.abs(x0 * 100).sum()).astype(jnp.int32)))
+        res_disp = jax.jit(
+            lambda xs: run_campaign(ci, cs, (pinit, dstep), xs, sim)
+        )(x0s)
+        r_nom = float(jnp.mean(res_nom["outcome"] == 0))
+        r_disp = float(jnp.mean(res_disp["outcome"] == 0))
+        assert r_disp <= r_nom + 1e-6
+        # landing scatter is wider under dispersion
+        ok_n = res_nom["outcome"] == 0
+        ok_d = res_disp["outcome"] == 0
+        if bool(ok_n.any()) and bool(ok_d.any()):
+            sd_n = float(jnp.std(res_nom["x_final"][ok_n, 2]))
+            sd_d = float(jnp.std(res_disp["x_final"][ok_d, 2]))
+            assert sd_d >= sd_n * 0.5  # sanity, not strict dominance
+
+    def test_dispersion_ellipse(self, rng):
+        pts = jnp.asarray(rng.normal(size=(200, 2)) * jnp.array([2.0, 0.5]))
+        ell = dispersion_ellipse(pts)
+        axes = np.sort(np.asarray(ell["semi_axes_3sigma"]))
+        assert 1.0 < axes[0] < 2.5  # ≈3·0.5
+        assert 4.5 < axes[1] < 7.5  # ≈3·2
+
+
+class TestAnalysis:
+    def test_z_test_detects_difference(self):
+        r = two_proportion_z_test(90, 100, 60, 100)
+        assert r["significant_05"]
+        r2 = two_proportion_z_test(85, 100, 83, 100)
+        assert not r2["significant_05"]
+
+    def test_welch_t(self, rng):
+        a = rng.normal(0.0, 1.0, 200)
+        b = rng.normal(0.8, 1.0, 200)
+        r = welch_t_test(a, b)
+        assert r["significant_05"]
+        assert abs(r["cohens_d"] + 0.8) < 0.3
+
+    def test_metrics_and_exporters(self, p3):
+        from tests.test_monte_carlo import make_hover_descent_controller
+
+        sim = SimulationConfig(max_steps=250, altitude_mean=12.0, altitude_std=0.5)
+        x0s = sample_initial_conditions(jax.random.PRNGKey(0), sim, 8)
+        ci, cs = make_hover_descent_controller(p3)
+        plant = lambda x, u: r3.step(p3, x, u, DT)
+        res = run_campaign(ci, cs, plant, x0s, sim)
+        m = PerformanceMetrics.from_results("test", res)
+        assert 0 <= m.success_rate <= 1
+        exp = ResultsExporter()
+        assert "test" in exp.to_csv([m])
+        assert "tabular" in exp.to_latex([m])
+        assert "landings succeeded" in exp.to_prose([m])
+
+    def test_simple_ablation(self, p3):
+        from tests.test_monte_carlo import make_hover_descent_controller
+
+        sim = SimulationConfig(max_steps=250, altitude_mean=12.0, altitude_std=0.5)
+        x0s = sample_initial_conditions(jax.random.PRNGKey(0), sim, 8)
+        plant = lambda x, u: r3.step(p3, x, u, DT)
+        good = lambda: make_hover_descent_controller(p3)
+        bad = lambda: (lambda x0: jnp.zeros(0), lambda c, x, k: (jnp.zeros(3), c))
+        out = run_simple_ablation(good, bad, plant, x0s, sim)
+        assert out["with_gp"].success_rate > out["without_gp"].success_rate
+
+
+class TestVisualization:
+    def test_summary_figure_renders(self, p3, tmp_path):
+        from tests.test_monte_carlo import make_hover_descent_controller
+        from gpmpc_tpu.experiments import create_summary_figure
+
+        sim = SimulationConfig(max_steps=200, altitude_mean=10.0, altitude_std=0.5)
+        x0s = sample_initial_conditions(jax.random.PRNGKey(0), sim, 8)
+        ci, cs = make_hover_descent_controller(p3)
+        plant = lambda x, u: r3.step(p3, x, u, DT)
+        res = run_campaign(ci, cs, plant, x0s, sim)
+        path = str(tmp_path / "summary.png")
+        create_summary_figure(res, path=path)
+        import os
+
+        assert os.path.getsize(path) > 10_000
+
+
+class TestSCVX:
+    def test_fixed_time_converges(self, p3):
+        step_dt = lambda x, u, dt: r3.step(p3, x, u, dt)
+        cfg = SCVXConfig(N=40)
+        x0 = jnp.array([2.0, 25.0, 1.0, -0.5, -3.0, 0.0, 0.0])
+        xT = jnp.zeros(7).at[0].set(2.0)
+        sol = jax.jit(lambda x: scvx_solve(step_dt, cfg, x, xT, jnp.asarray(0.2)))(x0)
+        assert bool(sol.converged)
+        assert float(sol.defect) < 0.2
+        # thrust bounds respected on the plan
+        assert float(sol.U[:, 0].min()) >= 0.3 - 1e-3
+        # fuel is physical
+        assert 0 < float(sol.fuel_used) < 1.0
+
+    def test_free_time_picks_converged(self, p3):
+        step_dt = lambda x, u, dt: r3.step(p3, x, u, dt)
+        cfg = SCVXConfig(N=40, iterations=6)
+        x0 = jnp.array([2.0, 25.0, 1.0, -0.5, -3.0, 0.0, 0.0])
+        xT = jnp.zeros(7).at[0].set(2.0)
+        sol = jax.jit(
+            lambda x: scvx_free_time(step_dt, cfg, x, xT, jnp.array([0.15, 0.2, 0.25]))
+        )(x0)
+        assert bool(sol.converged)
+
+    def test_simple_scvx_feasible(self, p3):
+        ss = SimpleSCVX(lambda x, u, dt: r3.step(p3, x, u, dt))
+        x0 = jnp.array([2.0, 15.0, 0.5, 0.0, -2.0, 0.0, 0.0])
+        xT = jnp.zeros(7).at[0].set(2.0)
+        sol = ss.generate(x0, xT, 0.2, 60)
+        assert float(sol.defect) < 1.0
+
+
+class TestTrajectoryLibrary:
+    def _traj(self, scale=1.0):
+        T = 10
+        times = jnp.arange(T + 1) * 0.1
+        X = jnp.zeros((T + 1, 7)).at[:, 1].set(jnp.linspace(10 * scale, 0, T + 1))
+        U = jnp.ones((T, 3))
+        return Trajectory(times=times, X=X, U=U)
+
+    def test_interpolation(self):
+        tr = self._traj()
+        np.testing.assert_allclose(float(tr.state_at(jnp.asarray(0.05))[1]), 9.5, atol=1e-5)
+        # past the end clamps
+        np.testing.assert_allclose(float(tr.state_at(jnp.asarray(99.0))[1]), 0.0, atol=1e-6)
+
+    def test_resample(self):
+        tr = self._traj().resample(20)
+        assert tr.X.shape == (21, 7)
+        np.testing.assert_allclose(tr.X[0, 1], 10.0, atol=1e-5)
+
+    def test_library_queries(self):
+        lib = TrajectoryLibrary.create(8, 10, 7, 3)
+        for s, c in [(1.0, 5.0), (2.0, 3.0), (3.0, 7.0)]:
+            lib = lib.add(self._traj(s), jnp.asarray(c), jnp.asarray(c / 10))
+        # nearest to alt 20 start is the scale-2 trajectory (idx 1)
+        q = jnp.zeros(7).at[1].set(20.0)
+        assert int(lib.nearest(q)) == 1
+        # best within a big radius by cost = idx 1 (cost 3)
+        assert int(lib.best_within_radius(q, jnp.asarray(100.0))) == 1
+        stats = lib.get_statistics()
+        assert int(stats["n_trajectories"]) == 3
+
+    def test_save_load(self, tmp_path):
+        lib = TrajectoryLibrary.create(4, 10, 7, 3)
+        lib = lib.add(self._traj(), jnp.asarray(1.0), jnp.asarray(0.1))
+        path = str(tmp_path / "lib.npz")
+        lib.save(path)
+        lib2 = lib.load(path)
+        assert int(lib2.count) == 1
+
+
+class TestUtils:
+    def test_config_loader_roundtrip(self):
+        from gpmpc_tpu.utils import load_experiment_config
+
+        cfg = load_experiment_config("config")
+        assert cfg["mpc_config"].N == 15
+        cfg2 = load_experiment_config("config", overrides={"mpc.N": 30})
+        assert cfg2["mpc_config"].N == 30
+
+    def test_profiler_sections(self):
+        from gpmpc_tpu.utils import Profiler
+
+        prof = Profiler()
+        with prof.section("a"):
+            sum(range(1000))
+        with prof.section("a"):
+            sum(range(1000))
+        s = prof.stats("a")
+        assert s["n"] == 2 and s["mean_ms"] >= 0
+        assert "a" in prof.report()
+
+    def test_benchmark_results_percentiles(self):
+        from gpmpc_tpu.utils import BenchmarkResults, LoopTiming
+
+        br = BenchmarkResults(warmup=1)
+        for ms in [100.0, 5.0, 6.0, 7.0]:
+            br.add(LoopTiming(mpc_ms=ms))
+        assert br.meets_50hz  # warmup excluded
+        assert br.get_percentile(50) == 6.0
+
+    def test_checkpointer_roundtrip(self, tmp_path):
+        from gpmpc_tpu.utils import CampaignCheckpointer
+
+        ck = CampaignCheckpointer(str(tmp_path / "ck"), keep=2)
+        state = {"a": jnp.arange(5.0), "b": jnp.ones((2, 2))}
+        ck.save(1, state)
+        ck.save(2, jax.tree.map(lambda x: x * 2, state))
+        step, restored = ck.restore_latest(state)
+        assert step == 2
+        np.testing.assert_allclose(restored["a"], np.arange(5.0) * 2)
+
+    def test_memory_profiler(self):
+        from gpmpc_tpu.utils import MemoryProfiler
+
+        nb = MemoryProfiler.nbytes({"x": jnp.zeros((100, 100))})
+        assert nb == 100 * 100 * 4
