@@ -30,7 +30,7 @@ def main():
     from gpmpc_tpu.mpc import RTIConfig, rti_init, rti_step
 
     N = 20
-    BATCH = int(sys.argv[1]) if len(sys.argv) > 1 else 1024
+    BATCH = int(sys.argv[1]) if len(sys.argv) > 1 else 512
     STEPS = int(sys.argv[2]) if len(sys.argv) > 2 else 25  # cycles per dispatch
     N_WINDOWS = 4
 

@@ -1,0 +1,120 @@
+"""6-DoF quaternion RTI-MPC configuration and constraint handling.
+
+Brings the RTI controller up on the full 14-state quaternion model
+(SURVEY.md §7 M7; the reference solves this as a CasADi/IPOPT NLP,
+``nominal_mpc.py:151-447``). The QP works in the full 14-dim state with the
+renormalized discrete step linearized by AD; the nonconvex thrust annulus and
+gimbal cone are handled by
+
+- an inner box approximation in the QP: u_x ∈ [T_min·cosδ_max + margin,
+  T_max], |u_y|,|u_z| ≤ T_max·sinδ_max/√2 (every box point satisfies both
+  ‖u‖ ≤ T_max and the gimbal cone; the lower bound keeps ‖u‖ ≥ T_min), and
+- exact post-projection ``clamp_thrust ∘ clamp_gimbal`` on the applied u0
+  (mirroring the reference's post-hoc handling, ``rocket_6dof.py:634-669``).
+
+Tilt/rate limits are enforced through the attitude weights and the box
+bounds on q_y, q_z, ω (|q_tilt| ≤ sin(θ_max/2), |ω| ≤ ω_max/√3 per axis —
+inner approximations of the quadratic constraints).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Callable, Optional, Tuple
+
+import jax.numpy as jnp
+
+from ..dynamics.rocket6dof import Rocket6DoFParams, clamp_gimbal, clamp_thrust
+from ..ops.qp import ADMMConfig
+from .cost_functions import CostWeights
+from .rti import RTIConfig
+
+Array = jnp.ndarray
+
+
+def control_box_6dof(params: Rocket6DoFParams) -> Tuple[Array, Array]:
+    """Inner box of the thrust annulus ∩ gimbal cone (body frame, +x axis).
+
+    The cone couples the lateral limit to axial thrust (|u_perp| ≤ u_x tanδ),
+    so the box's lateral half-width is set by the *lowest* admissible u_x:
+    lat = T_min·sinδ/√2; then u_x_max shrinks so the max-thrust corner stays
+    inside ‖u‖ ≤ T_max. Every box point is exactly feasible.
+    """
+    ux_min = params.T_min * math.cos(params.delta_max)
+    lat = params.T_min * math.sin(params.delta_max) / math.sqrt(2.0)
+    ux_max = math.sqrt(max(params.T_max**2 - 2.0 * lat**2, ux_min**2))
+    u_min = jnp.array([ux_min + 1e-3, -lat, -lat])
+    u_max = jnp.array([ux_max, lat, lat])
+    return u_min, u_max
+
+
+def state_box_6dof(params: Rocket6DoFParams) -> Tuple[Array, Array]:
+    """State bounds: loose translation boxes + tilt/rate inner boxes."""
+    big = 1e20
+    q_tilt = math.sin(min(params.theta_max, math.pi * 0.499) / 2.0)
+    w_ax = params.omega_max / math.sqrt(3.0)
+    lo = jnp.array(
+        [-big, -10.0, -100.0, -100.0, -50.0, -50.0, -50.0,
+         -1.0, -1.0, -q_tilt, -q_tilt, -w_ax, -w_ax, -w_ax]
+    )
+    hi = jnp.array(
+        [big, 500.0, 100.0, 100.0, 50.0, 50.0, 50.0,
+         1.0, 1.0, q_tilt, q_tilt, w_ax, w_ax, w_ax]
+    )
+    return lo, hi
+
+
+def rti_config_6dof(
+    params: Optional[Rocket6DoFParams] = None,
+    N: int = 15,
+    dt: float = 0.1,
+    weights: Optional[CostWeights] = None,
+    admm: Optional[ADMMConfig] = None,
+) -> RTIConfig:
+    """Build an :class:`RTIConfig` for the 14-state quaternion model."""
+    params = params or Rocket6DoFParams()
+    w = weights or CostWeights()
+    u_min, u_max = control_box_6dof(params)
+    x_min, x_max = state_box_6dof(params)
+    return RTIConfig(
+        N=N,
+        dt=dt,
+        n_x=14,
+        n_u=3,
+        Q=w.Q_6dof(),
+        R=w.R(3),
+        Qf=w.P_6dof(),
+        x_min=x_min,
+        x_max=x_max,
+        u_min=u_min,
+        u_max=u_max,
+        admm=admm or ADMMConfig(max_iter=100, polish=True),
+    )
+
+
+def project_control_6dof(params: Rocket6DoFParams, u: Array) -> Array:
+    """Exact feasibility projection applied to u0 before the plant."""
+    return clamp_thrust(params, clamp_gimbal(params, u))
+
+
+def make_rti6dof_controller(
+    step_fn: Callable[[Array, Array], Array],
+    params: Rocket6DoFParams,
+    config: RTIConfig,
+    x_target: Array,
+    reference_fn: Optional[Callable] = None,
+    ref_horizon: int = 120,
+):
+    """(cinit, cstep) for Monte-Carlo campaigns, with the exact control
+    projection composed after the QP."""
+    from .rti import make_rti_controller
+
+    cinit, cstep = make_rti_controller(
+        step_fn, config, x_target, reference_fn=reference_fn, ref_horizon=ref_horizon
+    )
+
+    def cstep_proj(cstate, x, k):
+        u, cstate = cstep(cstate, x, k)
+        return project_control_6dof(params, u), cstate
+
+    return cinit, cstep_proj

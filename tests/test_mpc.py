@@ -175,3 +175,76 @@ class TestRTI:
         perr = jax.vmap(jnp.linalg.norm)(out["x_final"][:, 2:4])
         assert float(v.max()) < 1.0
         assert float(perr.max()) < 0.5
+
+
+class TestRTI6DoF:
+    """6-DoF quaternion MPC bring-up (SURVEY.md §7 M7)."""
+
+    def test_closed_loop_landing_with_attitude(self):
+        from gpmpc_tpu.dynamics import Rocket6DoFParams, rocket6dof as r6
+        from gpmpc_tpu.mpc import make_rti6dof_controller, rti_config_6dof
+
+        p = Rocket6DoFParams()
+        cfg6 = rti_config_6dof(p)
+        F = lambda x, u: r6.step(p, x, u, cfg6.dt)
+        xT = r6.create_initial_state(p, altitude=0.0)
+        x0 = r6.create_initial_state(
+            p, altitude=20.0, horizontal=(0.5, -0.3), velocity=(-2.0, 0.1, 0.0)
+        )
+        ref_fn = lambda x: cubic_descent_reference(x, xT, 110, cfg6.dt)
+        cinit, cstep = make_rti6dof_controller(
+            F, p, cfg6, xT, reference_fn=ref_fn, ref_horizon=150
+        )
+
+        @jax.jit
+        def run(x):
+            c = cinit(x)
+
+            def body(carry, k):
+                x, c, landed = carry
+                u, c = cstep(c, x, k)
+                xn = jnp.where(landed, x, F(x, u))
+                return (xn, c, landed | (xn[1] < 0.1)), r6.tilt_angle(xn[7:11])
+
+            (xf, _, landed), tilts = jax.lax.scan(
+                body, (x, c, jnp.asarray(False)), jnp.arange(150)
+            )
+            return xf, landed, tilts
+
+        xf, landed, tilts = run(x0)
+        assert bool(landed)
+        assert float(jnp.linalg.norm(xf[4:7])) < 1.0  # soft touchdown
+        assert float(jnp.linalg.norm(xf[2:4])) < 0.5  # on the pad
+        assert float(tilts.max()) < p.theta_max  # attitude within limits
+        assert abs(float(jnp.linalg.norm(xf[7:11])) - 1.0) < 1e-4
+
+    def test_control_box_inside_cone_and_annulus(self):
+        from gpmpc_tpu.dynamics import Rocket6DoFParams, rocket6dof as r6
+        from gpmpc_tpu.mpc import control_box_6dof
+
+        p = Rocket6DoFParams()
+        lo, hi = control_box_6dof(p)
+        # every corner of the box satisfies gimbal + thrust-max
+        import itertools
+
+        for corner in itertools.product(*zip(np.asarray(lo), np.asarray(hi))):
+            u = jnp.asarray(corner)
+            assert float(r6.gimbal_constraint(p, u)) <= 1e-6
+            assert float(jnp.linalg.norm(u)) <= p.T_max + 1e-6
+
+
+class TestNominalMPC:
+    def test_solve_and_closed_loop(self):
+        from gpmpc_tpu.mpc import MPCConfig, NominalMPC3DoF
+
+        p = Rocket3DoFParams()
+        F = lambda x, u: r3.step(p, x, u, 0.1)
+        mpc = NominalMPC3DoF(F, MPCConfig(scp_iterations=2, tighten=False))
+        x0 = jnp.array([2.0, 15.0, 0.3, 0.0, -2.0, 0.0, 0.0])
+        xT = jnp.zeros(7).at[0].set(2.0)
+        sol = mpc.solve(x0, xT)
+        assert sol.u0.shape == (3,)
+        assert bool(sol.success)
+        out = mpc.simulate_closed_loop(x0, xT, 160)
+        assert bool(out["landed"])
+        assert float(jnp.linalg.norm(out["x_final"][4:7])) < 2.0
