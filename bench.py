@@ -34,8 +34,16 @@ def main():
     STEPS = int(sys.argv[2]) if len(sys.argv) > 2 else 25  # cycles per dispatch
     N_WINDOWS = 4
 
+    from gpmpc_tpu.ops.qp import ADMMConfig
+
     p = Rocket3DoFParams()
-    cfg = RTIConfig(N=N)
+    # tuned real-time solver settings: warm-started cycles need one rho
+    # adaptation and 50 iterations + polish; scaling=3 matches the reference
+    # OSQP setting (osqp_rti.py:60)
+    cfg = RTIConfig(
+        N=N,
+        admm=ADMMConfig(max_iter=50, polish=True, rho_adapt_chunks=1, scaling=3),
+    )
     F = lambda x, u: r3.step(p, x, u, cfg.dt)
     xT = jnp.zeros(7).at[0].set(2.0)
 

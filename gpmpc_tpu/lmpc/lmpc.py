@@ -70,7 +70,7 @@ class LMPCConfig:
     u_min: Array = struct.field(default_factory=lambda: jnp.array([0.3, -5.0, -5.0]))
     u_max: Array = struct.field(default_factory=lambda: jnp.array([5.0, 5.0, 5.0]))
     admm: ADMMConfig = struct.field(
-        default_factory=lambda: ADMMConfig(max_iter=400, polish=True)
+        default_factory=lambda: ADMMConfig(max_iter=400, polish=True, rho_adapt_chunks=16)
     )
     m_dry: float = 1.0
     fuel_margin: float = 0.0

@@ -203,6 +203,88 @@ def rti_step(
     )
 
 
+def rti_prepare(
+    step_fn: Callable[[Array, Array], Array],
+    config: RTIConfig,
+    state: RTIState,
+):
+    """Preparation phase: linearize along the current trajectory and build
+    the QP *before* the measurement arrives (the Diehl RTI split,
+    ``rti_mpc.py:282-319`` / ``osqp_rti.py:480-499``). Returns the prepared
+    (Aks, Bks, cks) to hand to :func:`rti_feedback`."""
+    return trajectory_jacobians(step_fn, state.X_lin, state.U_lin)
+
+
+def rti_feedback(
+    config: RTIConfig,
+    state: RTIState,
+    prepared,
+    x_current: Array,
+) -> Tuple[RTISolution, RTIState]:
+    """Feedback phase: pin the measured state and solve
+    (``osqp_rti.py:501-567``). Use with :func:`rti_prepare` when the two
+    phases are pipelined around the measurement; ``rti_step`` fuses both."""
+    N = config.N
+    Aks, Bks, cks = prepared
+    data = build_mpc_qp(
+        Aks, Bks, cks, x_current,
+        config.Q, config.R, config.Qf, state.x_ref,
+        config.x_min, config.x_max, config.u_min, config.u_max,
+    )
+    z0 = join_z(state.X_prev, state.U_prev)
+    y0 = state.y_prev if config.warm_start_duals else jnp.zeros_like(state.y_prev)
+    sol = solve(data, z0, y0, config.admm, rho0=state.rho)
+    ok = sol.status == SOLVED
+    X_sol, U_sol = split_z(sol.x, N, config.n_x, config.n_u)
+    X_opt = jnp.where(ok, X_sol, state.X_prev)
+    U_opt = jnp.where(ok, U_sol, state.U_prev)
+    X_shift = jnp.concatenate([X_opt[1:], X_opt[-1:]], axis=0)
+    U_shift = jnp.concatenate([U_opt[1:], U_opt[-1:]], axis=0)
+    new_state = state.replace(
+        X_lin=X_opt, U_lin=U_opt, X_prev=X_shift, U_prev=U_shift,
+        y_prev=jnp.where(ok, sol.y, state.y_prev), rho=sol.rho,
+    )
+    return (
+        RTISolution(
+            u0=U_opt[0], X_opt=X_opt, U_opt=U_opt,
+            cost=jnp.where(ok, sol.obj, jnp.inf),
+            iterations=sol.iterations, success=ok,
+        ),
+        new_state,
+    )
+
+
+def simple_rti_step(
+    step_fn: Callable[[Array, Array], Array],
+    config: RTIConfig,
+    state: RTIState,
+    x_current: Array,
+    gd_steps: int = 15,
+    lr: float = 0.05,
+) -> Tuple[Array, RTIState]:
+    """Gradient-descent fallback without the QP (mirrors ``SimpleRTI``,
+    ``rti_mpc.py:483-577``): descend the tracking cost of a rollout w.r.t.
+    the control sequence, clip to the thrust box."""
+
+    def rollout_cost(U):
+        def body(x, u):
+            return step_fn(x, u), x
+
+        xN, X = jax.lax.scan(body, x_current, U)
+        E = jnp.concatenate([X, xN[None]], axis=0) - state.x_ref
+        return jnp.einsum("ki,ij,kj->", E, config.Q, E) + jnp.einsum(
+            "ki,ij,kj->", U, config.R, U
+        )
+
+    def gd(U, _):
+        g = jax.grad(rollout_cost)(U)
+        return jnp.clip(U - lr * g, config.u_min[None, :], config.u_max[None, :]), None
+
+    U, _ = jax.lax.scan(gd, state.U_lin, None, length=gd_steps)
+    U_shift = jnp.concatenate([U[1:], U[-1:]], axis=0)
+    return U[0], state.replace(U_lin=U_shift, U_prev=U_shift)
+
+
 def make_rti_controller(
     step_fn: Callable[[Array, Array], Array],
     config: RTIConfig,

@@ -61,12 +61,20 @@ class ADMMConfig:
     rho: float = 0.1
     rho_eq_scale: float = 1e3
     adaptive_rho: bool = struct.field(pytree_node=False, default=True)
+    # number of leading check-chunks allowed to adapt rho + refactorize; the
+    # refactorization costs ~half a 100-iteration sweep on TPU, so warm-
+    # started real-time paths set this to 1 while cold solves keep more
+    rho_adapt_chunks: int = struct.field(pytree_node=False, default=4)
     scaling: int = struct.field(pytree_node=False, default=10)
     # Active-set KKT polish at exit (OSQP `polish`; reference runs with it off
     # for speed, ``osqp_rti.py:58`` — turn on for high-accuracy SCP/parity).
     polish: bool = struct.field(pytree_node=False, default=False)
     polish_delta: float = 1e-4
     polish_refine_iters: int = struct.field(pytree_node=False, default=6)
+    # run the iteration chunks as the Pallas VMEM-resident kernel:
+    # "auto" = on TPU backends, "on"/"off" force it (off on CPU tests; the
+    # kernel is bit-compatible with the jnp path — see tests/test_pallas.py)
+    use_pallas: str = struct.field(pytree_node=False, default="auto")
 
 
 def _rho_vec(l: Array, u: Array, rho: Array) -> Array:
@@ -230,15 +238,40 @@ def solve(
 
     n_chunks = max(cfg.max_iter // cfg.check_interval, 1)
 
-    def chunk(state, _):
+    if cfg.use_pallas == "on":
+        pallas_iters = True
+    elif cfg.use_pallas == "auto":
+        from ..pallas.admm_kernel import pallas_available
+
+        pallas_iters = pallas_available()
+    else:
+        pallas_iters = False
+
+    def make_chunk(allow_refactor: bool):
+        def chunk(state, _):
+            return _chunk_body(state, allow_refactor)
+
+        return chunk
+
+    def _chunk_body(state, allow_refactor):
         x, z, y, rho_v, L, rho, it, done, status = state
         x_prev, y_prev = x, y
 
-        def body(_, c):
-            xx, zz, yy = one_iter((c[0], c[1], c[2], rho_v, L))
-            return (xx, zz, yy)
+        if pallas_iters:
+            from ..pallas.admm_kernel import admm_chunk
 
-        x_n, z_n, y_n = jax.lax.fori_loop(0, cfg.check_interval, body, (x, z, y))
+            x_n, z_n, y_n = admm_chunk(
+                L, A, q, l, u, rho_v, x, z, y,
+                iters=cfg.check_interval, sigma=cfg.sigma, alpha=cfg.alpha,
+            )
+        else:
+            def body(_, c):
+                xx, zz, yy = one_iter((c[0], c[1], c[2], rho_v, L))
+                return (xx, zz, yy)
+
+            x_n, z_n, y_n = jax.lax.fori_loop(
+                0, cfg.check_interval, body, (x, z, y)
+            )
         # freeze converged/infeasible lanes
         keep = ~done
         x = jnp.where(keep, x_n, x)
@@ -286,8 +319,11 @@ def solve(
         ))
         done = done | converged | (~done & (prim_cert | dual_cert))
 
-        # adaptive ρ on the fixed schedule (scaled-residual ratio, OSQP rule)
-        if cfg.adaptive_rho:
+        # adaptive ρ (scaled-residual ratio, OSQP rule) — only on chunks where
+        # the *static* schedule allows it: the refactorization is a batched
+        # Cholesky+inverse that costs ~half a full 100-iteration sweep, so it
+        # runs once after the burn-in chunk instead of every check.
+        if cfg.adaptive_rho and allow_refactor:
             ratio = jnp.sqrt(
                 (r_prim / jnp.maximum(prim_norm, 1e-10))
                 / jnp.maximum(r_dual / jnp.maximum(dual_norm, 1e-10), 1e-10)
@@ -296,7 +332,6 @@ def solve(
             upd = (~done) & ((ratio > 5.0) | (ratio < 0.2))
             rho = jnp.where(upd, rho_new, rho)
             rho_v_new = _rho_vec(l, u, rho)
-            # y must be rescaled is not needed (y independent of rho); refactor
             rho_v = jnp.where(upd, rho_v_new, rho_v)
             L = jnp.where(upd, _factor(P, A, rho_v_new, cfg.sigma), L)
 
@@ -305,9 +340,17 @@ def solve(
     status0 = jnp.asarray(MAX_ITER, jnp.int32)
     init = (x, z, y, rho_v, L, rho_init, jnp.asarray(0, jnp.int32),
             jnp.asarray(False), status0)
-    (x, z, y, rho_v, L, rho, it, done, status), (r_prims, r_duals) = jax.lax.scan(
-        chunk, init, None, length=n_chunks
-    )
+    # adapt phase: leading chunks may adapt ρ and refactorize; the remaining
+    # chunks share one factorization
+    n_adapt = min(cfg.rho_adapt_chunks, n_chunks) if cfg.adaptive_rho else 0
+    state = init
+    if n_adapt > 0:
+        state, _ = jax.lax.scan(make_chunk(True), state, None, length=n_adapt)
+    if n_chunks - n_adapt > 0:
+        state, _ = jax.lax.scan(
+            make_chunk(False), state, None, length=n_chunks - n_adapt
+        )
+    (x, z, y, rho_v, L, rho, it, done, status) = state
 
     r_prim, r_dual, _, _ = residuals(x, z, y)
 

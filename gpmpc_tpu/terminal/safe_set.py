@@ -200,6 +200,52 @@ def merge_safe_sets(sets: list[SafeSet], capacity: Optional[int] = None) -> Safe
     )
 
 
+@struct.dataclass
+class StreamingSafeSet:
+    """Buffered single-state adds (``memory_safe_set.py:520-580``): states
+    stream in one at a time and flush into the safe set as one pseudo-
+    trajectory when the buffer fills or the episode closes."""
+
+    safe_set: SafeSet
+    buf_X: Array  # (buf, n_x)
+    buf_U: Array
+    buf_cost: Array
+    buf_count: Array
+
+    @classmethod
+    def create(cls, safe_set: SafeSet, buffer_size: int = 64):
+        n_x = safe_set.states.shape[1]
+        n_u = safe_set.controls.shape[1]
+        return cls(
+            safe_set=safe_set,
+            buf_X=jnp.zeros((buffer_size, n_x)),
+            buf_U=jnp.zeros((buffer_size, n_u)),
+            buf_cost=jnp.zeros(buffer_size),
+            buf_count=jnp.asarray(0, jnp.int32),
+        )
+
+    def add(self, x: Array, u: Array, cost: Array) -> "StreamingSafeSet":
+        i = self.buf_count
+        new = self.replace(
+            buf_X=self.buf_X.at[i].set(x),
+            buf_U=self.buf_U.at[i].set(u),
+            buf_cost=self.buf_cost.at[i].set(cost),
+            buf_count=i + 1,
+        )
+        full = new.buf_count >= self.buf_X.shape[0]
+        return jax.lax.cond(full, lambda s: s.flush(), lambda s: s, new)
+
+    def flush(self) -> "StreamingSafeSet":
+        """Push the buffered states as one trajectory (masked no-op when
+        empty); padding rows carry zero stage cost so cost-to-go is exact."""
+        valid = self.buf_count > 0
+        mask = jnp.arange(self.buf_X.shape[0]) < self.buf_count
+        ss = self.safe_set.add_trajectory(
+            self.buf_X, self.buf_U, jnp.where(mask, self.buf_cost, 0.0), valid=valid
+        )
+        return self.replace(safe_set=ss, buf_count=jnp.asarray(0, jnp.int32))
+
+
 # Name-parity aliases for the reference surface.
 SampledSafeSet = SafeSet
 FuelAwareSafeSet = SafeSet

@@ -179,3 +179,64 @@ class TestGPMPC:
         assert results[True]["landed"]
         # GP controller must touch down at least as softly as nominal
         assert results[True]["v"] <= results[False]["v"] + 0.05, results
+
+
+class TestGPMPC6DoF:
+    """6-DoF GP-MPC: the StructuredRocketGP residual model in the 14-state
+    SCP loop (SURVEY.md §7 M7 final milestone)."""
+
+    @pytest.mark.slow
+    def test_structured_gp_in_6dof_scp(self):
+        from gpmpc_tpu.dynamics import Rocket6DoFParams, rocket6dof as r6
+        from gpmpc_tpu.gp import ResidualCollector, StructuredGPConfig, StructuredRocketGP
+        from gpmpc_tpu.mpc import GPMPCConfig, gp_mpc_init, gp_mpc_solve
+        from gpmpc_tpu.mpc.rti6dof import rti_config_6dof
+
+        p_nom = Rocket6DoFParams()
+        # plant with unmodeled aero on the body
+        p_true = p_nom.replace(rho=0.8, C_A=0.4 * jnp.eye(3))
+        dt = 0.1
+        F_nom = lambda x, u: r6.step(p_nom, x, u, dt)
+        F_true = lambda x, u: r6.step(p_true, x, u, dt)
+
+        # collect residuals from a hover-ish exploratory flight
+        key = jax.random.PRNGKey(0)
+        xs, us, xns = [], [], []
+        x = r6.create_initial_state(p_nom, altitude=20.0, velocity=(-2.0, 0.3, -0.2))
+        for k in range(80):
+            u = r6.clamp_thrust(
+                p_nom,
+                r6.hover_thrust(p_nom, x)
+                + 0.3 * jax.random.normal(jax.random.fold_in(key, k), (3,)),
+            )
+            xn = F_true(x, u)
+            xs.append(x), us.append(u), xns.append(xn)
+            x = xn if float(xn[1]) > 2.0 else r6.create_initial_state(
+                p_nom, altitude=18.0, velocity=(-2.0, -0.3, 0.2))
+        X, U, Xn = jnp.stack(xs), jnp.stack(us), jnp.stack(xns)
+        res6 = ResidualCollector(dt=dt).collect_batch(F_nom, X, U, Xn)
+        assert res6.shape == (80, 6)
+
+        gp = StructuredRocketGP.create(
+            StructuredGPConfig(max_data_points=128, n_inducing=40))
+        gp = gp.add_data_batch(X, U, res6).fit(jax.random.PRNGKey(1))
+        # the GP must capture a good share of the aero residual at training pts
+        mean, var = gp.predict_batch(X[:16], U[:16])
+        err = float(jnp.abs(mean - res6[:16]).mean())
+        raw = float(jnp.abs(res6[:16]).mean())
+        assert err < 0.5 * raw
+
+        # one 14-state GP-MPC solve with the lifted residual
+        cfg = GPMPCConfig(base=rti_config_6dof(p_nom), scp_iterations=2, tighten=True)
+        mean_fn = lambda x, u: StructuredRocketGP.lift_residual(
+            gp.predict_gated(x, u)[0], 14)
+        var_fn = lambda x, u: gp.predict(x, u)[1]
+        x0 = r6.create_initial_state(p_nom, altitude=15.0, velocity=(-2.0, 0.0, 0.0))
+        xT = r6.create_initial_state(p_nom, altitude=0.0)
+        st = gp_mpc_init(cfg, x0, xT)
+        sol, _ = gp_mpc_solve(F_nom, mean_fn, var_fn, cfg, st, x0)
+        assert sol.u0.shape == (3,)
+        assert bool(sol.success)
+        assert sol.Sigmas.shape == (cfg.base.N + 1, 14, 14)
+        # chance tightening propagated rate-block GP noise
+        assert float(jnp.trace(sol.Sigmas[-1])) > 0

@@ -248,3 +248,36 @@ class TestNominalMPC:
         out = mpc.simulate_closed_loop(x0, xT, 160)
         assert bool(out["landed"])
         assert float(jnp.linalg.norm(out["x_final"][4:7])) < 2.0
+
+
+class TestRTIPhases:
+    def test_prepare_feedback_equals_fused_step(self):
+        """The split prepare/feedback phases must reproduce rti_step exactly
+        when re-anchoring is off (the Diehl pipelining contract)."""
+        from gpmpc_tpu.mpc import rti_feedback, rti_prepare
+
+        p = Rocket3DoFParams()
+        cfg = RTIConfig(reanchor=False)
+        F = lambda x, u: r3.step(p, x, u, cfg.dt)
+        x0 = jnp.array([2.0, 25.0, 0.3, 0.0, -3.0, 0.0, 0.0])
+        xT = jnp.zeros(7).at[0].set(2.0)
+        st = rti_init(cfg, x0, xT)
+        prepared = rti_prepare(F, cfg, st)
+        sol_a, st_a = rti_feedback(cfg, st, prepared, x0)
+        sol_b, st_b = rti_step(F, cfg, st, x0)
+        np.testing.assert_allclose(sol_a.u0, sol_b.u0, atol=1e-6)
+        np.testing.assert_allclose(st_a.X_prev, st_b.X_prev, atol=1e-6)
+
+    def test_simple_rti_descends_cost(self):
+        from gpmpc_tpu.mpc import simple_rti_step
+
+        p = Rocket3DoFParams()
+        cfg = RTIConfig()
+        F = lambda x, u: r3.step(p, x, u, cfg.dt)
+        x0 = jnp.array([2.0, 10.0, 0.0, 0.0, -1.0, 0.0, 0.0])
+        xT = jnp.zeros(7).at[0].set(2.0)
+        st = rti_init(cfg, x0, xT)
+        u0, st2 = simple_rti_step(F, cfg, st, x0, gd_steps=25)
+        # bounded and finite, and changed from the hover init
+        assert float(u0[0]) >= cfg.u_min[0] - 1e-6
+        assert bool(jnp.all(jnp.isfinite(u0)))

@@ -213,3 +213,25 @@ class TestQFunction:
         x = ss.states[5]
         qs = iteration_q_values(ss, x, 3, K=5)
         assert float(qs[2]) <= float(qs[0]) + 1e-4
+
+
+class TestStreamingSafeSet:
+    def test_stream_and_flush(self):
+        from gpmpc_tpu.terminal import StreamingSafeSet
+
+        ss = SafeSet.create(128, 7)
+        stream = StreamingSafeSet.create(ss, buffer_size=8)
+        for i in range(5):
+            stream = stream.add(jnp.full(7, float(i)), jnp.zeros(3), jnp.asarray(1.0))
+        assert int(stream.safe_set.count) == 0  # not flushed yet
+        stream = stream.flush()
+        assert int(stream.safe_set.count) == 8  # padded pseudo-trajectory
+        assert int(stream.buf_count) == 0
+
+    def test_auto_flush_on_full(self):
+        from gpmpc_tpu.terminal import StreamingSafeSet
+
+        stream = StreamingSafeSet.create(SafeSet.create(64, 7), buffer_size=4)
+        for i in range(4):
+            stream = stream.add(jnp.full(7, float(i)), jnp.zeros(3), jnp.asarray(1.0))
+        assert int(stream.safe_set.count) == 4
