@@ -14,8 +14,7 @@ its own fold of the PRNG key.
 
 from __future__ import annotations
 
-import math
-from typing import Callable, Optional
+from typing import Callable
 
 import jax
 import jax.numpy as jnp

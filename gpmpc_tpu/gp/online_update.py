@@ -12,7 +12,7 @@ so the whole learning loop lives inside ``lax.scan``.
 
 from __future__ import annotations
 
-from typing import Callable, Optional, Tuple
+from typing import Callable, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -14,7 +14,7 @@ every factor exactly), so online updates never retrace.
 
 from __future__ import annotations
 
-from typing import NamedTuple, Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

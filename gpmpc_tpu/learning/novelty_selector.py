@@ -10,7 +10,7 @@ acquisition (uncertainty / expected-improvement style, ``:299-372``).
 
 from __future__ import annotations
 
-from typing import Callable, Optional
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -22,7 +22,7 @@ import jax.numpy as jnp
 from flax import struct
 
 from ..dynamics.linearize import trajectory_jacobians
-from ..ops.qp import ADMMConfig, SOLVED, build_mpc_qp, join_z, solve, split_z
+from ..ops.qp import SOLVED, build_mpc_qp, join_z, solve, split_z
 from .rti import RTIConfig
 from .uncertainty_prop import box_tightening, propagate_linear
 

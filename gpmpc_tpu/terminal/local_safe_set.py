@@ -13,7 +13,6 @@ up to ~10⁵ states (SURVEY.md §2.9) and needs no rebuild when the set grows.
 
 from __future__ import annotations
 
-import math
 from typing import NamedTuple, Optional
 
 import jax

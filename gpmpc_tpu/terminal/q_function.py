@@ -18,7 +18,7 @@ from flax import struct
 
 from ..gp.kernels import create_kernel
 from ..gp.sparse_gp import fit_sparse, init_inducing_points, predict_sparse
-from .local_safe_set import LocalSafeSetConfig, knn_query
+from .local_safe_set import knn_query
 from .safe_set import SafeSet
 
 Array = jax.Array

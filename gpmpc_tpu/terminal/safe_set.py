@@ -15,7 +15,7 @@ merging is an ``all_gather`` + global prune (SURVEY.md §2.10).
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

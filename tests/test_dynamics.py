@@ -14,7 +14,6 @@ from gpmpc_tpu.dynamics import (
     AffineModel,
     Rocket3DoF,
     Rocket3DoFParams,
-    Rocket6DoF,
     Rocket6DoFParams,
     discretize_jacobians,
     hermite_simpson_defect,

@@ -25,7 +25,6 @@ from gpmpc_tpu.gp import (
     SquaredExponentialARD,
     StructuredGPConfig,
     StructuredRocketGP,
-    SumKernel,
     WhiteNoise,
     create_kernel,
     fit,

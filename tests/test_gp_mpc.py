@@ -14,7 +14,6 @@ from gpmpc_tpu.dynamics import Rocket3DoFParams, rocket3dof as r3, trajectory_ja
 from gpmpc_tpu.gp import ResidualCollector, Simple3DoFGP, StructuredGPConfig
 from gpmpc_tpu.mpc import (
     GPMPCConfig,
-    RTIConfig,
     box_tightening,
     gp_mpc_init,
     gp_mpc_solve,

@@ -4,7 +4,6 @@ chunk kernel must be numerically equivalent to the jnp reference path."""
 import jax
 import jax.numpy as jnp
 import numpy as np
-import pytest
 
 from gpmpc_tpu.ops.pallas.admm_kernel import admm_chunk
 from gpmpc_tpu.ops.qp import QPData

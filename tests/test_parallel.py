@@ -18,7 +18,6 @@ from gpmpc_tpu.parallel import (
     per_host_keys,
     run_sharded_campaign,
     scenario_mesh,
-    shard_scenarios,
 )
 from gpmpc_tpu.terminal import SafeSet
 

@@ -5,10 +5,8 @@ approximators."""
 import jax
 import jax.numpy as jnp
 import numpy as np
-import pytest
 
 from gpmpc_tpu.terminal import (
-    ConvexHullConstraint,
     GPQFunction,
     LocalSafeSetConfig,
     SafeSet,
