@@ -69,6 +69,10 @@ class RTIConfig:
         default_factory=lambda: ADMMConfig(max_iter=100, polish=True)
     )
     warm_start_duals: bool = struct.field(pytree_node=False, default=True)
+    # accept a plan whose primal residual is below this even when the dual
+    # termination test has not fired (warm-started RTI plans are primal-
+    # feasible long before the duals settle; 0 disables the relaxation)
+    accept_pri_tol: float = 0.0
     # Re-simulate the linearization trajectory from the measured state each
     # cycle. The reference linearizes around the previous QP solution
     # (osqp_rti.py:539), which under plant-model mismatch drifts away from
@@ -171,7 +175,7 @@ def rti_step(
     z0 = join_z(state.X_prev, state.U_prev)
     y0 = state.y_prev if config.warm_start_duals else jnp.zeros_like(state.y_prev)
     sol = solve(data, z0, y0, config.admm, rho0=state.rho)
-    ok = sol.status == SOLVED
+    ok = (sol.status == SOLVED) | (sol.pri_res <= config.accept_pri_tol)
 
     X_sol, U_sol = split_z(sol.x, N, config.n_x, config.n_u)
     # fallback: reuse the shifted previous solution on failure (osqp_rti.py:546-552)

@@ -22,6 +22,7 @@ def main() -> int:
     ap.add_argument("--steps", type=int, default=110)
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--tpu", action="store_true", help="run on the ambient TPU backend")
+    ap.add_argument("--model", choices=["3dof", "6dof"], default="3dof")
     args = ap.parse_args()
 
     import jax
@@ -32,19 +33,32 @@ def main() -> int:
 
     import jax.numpy as jnp
 
-    from gpmpc_tpu.dynamics import Rocket3DoFParams, rocket3dof as r3
     from gpmpc_tpu.mpc import RTIConfig, rti_closed_loop
     from gpmpc_tpu.reference import cubic_descent_reference, pad_reference
 
-    p = Rocket3DoFParams()
-    cfg = RTIConfig()
-    F = lambda x, u: r3.step(p, x, u, cfg.dt)
-    xT = jnp.zeros(7).at[0].set(2.0)
-
     B = args.batch
-    x0s = jnp.tile(jnp.array([2.0, 30.0, 1.0, -0.5, -3.0, 0.0, 0.0]), (B, 1))
-    x0s = x0s.at[:, 1].add(jnp.linspace(-3, 3, B))
-    x0s = x0s.at[:, 2].add(jnp.linspace(-1, 1, B))
+    if args.model == "6dof":
+        from gpmpc_tpu.dynamics import Rocket6DoFParams, rocket6dof as r6
+        from gpmpc_tpu.mpc import rti_config_6dof
+
+        p = Rocket6DoFParams()
+        cfg = rti_config_6dof(p)
+        F = lambda x, u: r6.step(p, x, u, cfg.dt)
+        xT = r6.create_initial_state(p, altitude=0.0)
+        x0s = jax.vmap(
+            lambda a, h: r6.create_initial_state(
+                p, altitude=20.0 + a, horizontal=(h, -h), velocity=(-2.0, 0.0, 0.0))
+        )(jnp.linspace(-2, 2, B), jnp.linspace(-0.5, 0.5, B))
+    else:
+        from gpmpc_tpu.dynamics import Rocket3DoFParams, rocket3dof as r3
+
+        p = Rocket3DoFParams()
+        cfg = RTIConfig()
+        F = lambda x, u: r3.step(p, x, u, cfg.dt)
+        xT = jnp.zeros(7).at[0].set(2.0)
+        x0s = jnp.tile(jnp.array([2.0, 30.0, 1.0, -0.5, -3.0, 0.0, 0.0]), (B, 1))
+        x0s = x0s.at[:, 1].add(jnp.linspace(-3, 3, B))
+        x0s = x0s.at[:, 2].add(jnp.linspace(-1, 1, B))
 
     def run_one(x):
         Xr = pad_reference(
