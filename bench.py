@@ -31,28 +31,42 @@ def main():
 
     N = 20
     BATCH = int(sys.argv[1]) if len(sys.argv) > 1 else 512
-    STEPS = int(sys.argv[2]) if len(sys.argv) > 2 else 25  # cycles per dispatch
+    STEPS = int(sys.argv[2]) if len(sys.argv) > 2 else 10  # cycles per dispatch
+    WARM = not (len(sys.argv) > 3 and sys.argv[3] == "chol")
     N_WINDOWS = 4
 
     from gpmpc_tpu.ops.qp import ADMMConfig
 
     p = Rocket3DoFParams()
-    # tuned real-time solver settings: warm-started cycles need one rho
-    # adaptation and 50 iterations; scaling=3 matches the reference OSQP
-    # setting (osqp_rti.py:60). Polish is unnecessary here — primal-feasible
-    # acceptance keeps landing quality identical (verified closed loop:
-    # 8/8 landings, 0.47 m/s max, 5 mm error, same as the polished config).
-    cfg = RTIConfig(
-        N=N,
-        accept_pri_tol=5e-3,
-        admm=ADMMConfig(max_iter=50, polish=False, rho_adapt_chunks=1, scaling=3),
-    )
+    # tuned real-time solver settings: 50 iterations, scaling=3 (the
+    # reference OSQP setting, osqp_rti.py:60), primal-feasible acceptance
+    # instead of polish. "warm" additionally carries the KKT inverse across
+    # cycles (frozen Ruiz scaling + Newton-Schulz refresh instead of the
+    # per-cycle Cholesky) — the default; pass "chol" as the third arg for
+    # the conservative per-cycle-factorization config. Landing
+    # quality is identical across these configs (verified closed loop:
+    # 8/8 landings, 0.47 m/s max, 5 mm error).
+    if WARM:
+        cfg = RTIConfig(
+            N=N,
+            accept_pri_tol=5e-3,
+            warm_kkt=True,
+            admm=ADMMConfig(max_iter=50, polish=False, adaptive_rho=False, scaling=3),
+        )
+    else:
+        cfg = RTIConfig(
+            N=N,
+            accept_pri_tol=5e-3,
+            admm=ADMMConfig(max_iter=50, polish=False, rho_adapt_chunks=1, scaling=3),
+        )
     F = lambda x, u: r3.step(p, x, u, cfg.dt)
     xT = jnp.zeros(7).at[0].set(2.0)
 
     x0s = jnp.tile(jnp.array([2.0, 30.0, 0.0, 0.0, -3.0, 0.0, 0.0]), (BATCH, 1))
     x0s = x0s.at[:, 1].add(jnp.linspace(0.0, 5.0, BATCH))
-    states = jax.vmap(lambda x: rti_init(cfg, x, xT))(x0s)
+    states = jax.vmap(
+        lambda x: rti_init(cfg, x, xT, step_fn=F if WARM else None)
+    )(x0s)
 
     @jax.jit
     def window(states, xs):

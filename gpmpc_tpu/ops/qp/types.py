@@ -64,6 +64,10 @@ class QPSolution:
     iterations: Array
     status: Array
     rho: Array  # adapted ADMM penalty at exit (feed back in as rho0 to warm-start)
+    # scaled-space KKT inverse at exit (feed back as kkt_inv0 with the same
+    # fixed_scaling for a Newton–Schulz warm factorization); None unless the
+    # caller opted into the warm-KKT path
+    kkt_inv: object = None
 
     @property
     def success(self):

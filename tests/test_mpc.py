@@ -281,3 +281,39 @@ class TestRTIPhases:
         # bounded and finite, and changed from the hover init
         assert float(u0[0]) >= cfg.u_min[0] - 1e-6
         assert bool(jnp.all(jnp.isfinite(u0)))
+
+
+class TestWarmKKT:
+    def test_warm_kkt_matches_cholesky_path_closed_loop(self):
+        """The warm-started KKT inverse (frozen scaling + Newton-Schulz
+        refresh) must reproduce the Cholesky path's landings."""
+        from gpmpc_tpu.ops.qp import ADMMConfig
+
+        p = Rocket3DoFParams()
+        xT = jnp.zeros(7).at[0].set(2.0)
+        x0s = jnp.tile(jnp.array([2.0, 30.0, 0.0, 0.0, -3.0, 0.0, 0.0]), (4, 1))
+        x0s = x0s.at[:, 1].add(jnp.linspace(-3, 3, 4)).at[:, 2].add(
+            jnp.linspace(-1, 1, 4))
+        results = {}
+        for warm in (False, True):
+            cfg = RTIConfig(
+                N=20, warm_kkt=warm, accept_pri_tol=5e-3,
+                admm=ADMMConfig(max_iter=50, polish=False,
+                                adaptive_rho=False, scaling=3))
+            F = lambda x, u: r3.step(p, x, u, cfg.dt)
+
+            def run_one(x, cfg=cfg, F=F):
+                Xr = pad_reference(
+                    cubic_descent_reference(x, xT, 100, cfg.dt), cfg.N + 20)
+                return rti_closed_loop(F, cfg, x, xT, 110, X_ref_full=Xr)
+
+            out = jax.jit(jax.vmap(run_one))(x0s)
+            results[warm] = out
+        for warm, out in results.items():
+            assert bool(out["landed"].all()), f"warm={warm}"
+            v = jax.vmap(jnp.linalg.norm)(out["x_final"][:, 4:7])
+            assert float(v.max()) < 1.0, f"warm={warm}"
+            assert float(out["solver_success"].mean()) > 0.99, f"warm={warm}"
+        # touchdown states agree closely between the two factorization paths
+        np.testing.assert_allclose(
+            results[True]["x_final"], results[False]["x_final"], atol=0.05)
