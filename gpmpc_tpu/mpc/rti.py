@@ -64,9 +64,10 @@ class RTIConfig:
     u_min: Array = struct.field(default_factory=lambda: jnp.array([0.3, -5.0, -5.0]))
     u_max: Array = struct.field(default_factory=lambda: jnp.array([5.0, 5.0, 5.0]))
 
-    # polish on: the active-set KKT refit is what reaches f32-floor duals on
-    # the badly-scaled landing QP (mass column is cost-free), and its one LU
-    # per step is cheap relative to the ADMM chunk on the MXU
+    # default: polish on for conservative accuracy (the active-set KKT refit
+    # reaches f32-floor duals on the badly-scaled landing QP whose mass
+    # column is cost-free). Real-time deployments instead set accept_pri_tol
+    # and drop polish — landing quality is identical with warm starts.
     admm: ADMMConfig = struct.field(
         default_factory=lambda: ADMMConfig(max_iter=100, polish=True)
     )

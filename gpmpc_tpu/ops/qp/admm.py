@@ -13,17 +13,24 @@ thousands of MPC QPs solve in lockstep as one XLA program:
     zᵏ⁺¹  = Π_[l,u]( α z̃ᵏ⁺¹ + (1−α) zᵏ + R⁻¹ yᵏ )
     yᵏ⁺¹  = yᵏ + R( α z̃ᵏ⁺¹ + (1−α) zᵏ − zᵏ⁺¹ )
 
-The KKT solve is a dense Cholesky of the (n×n) reduced matrix — for MPC
-horizons the matrix is a few-hundred square, which batches beautifully on
-the MXU. Early termination is emulated in lockstep by freezing converged
-lanes (the returned iterate equals the one OSQP would have stopped at).
+The KKT solve uses an explicit Cholesky-based inverse of the (n×n) reduced
+matrix so each iteration is a batched MXU matvec; for MPC horizons the
+matrix is a few-hundred square. Early termination is emulated in lockstep by
+freezing converged lanes (the returned iterate equals the one OSQP would
+have stopped at).
 
 Design notes vs OSQP C:
-- ρ is updated on a *fixed* schedule (every ``check_interval`` iterations,
-  refactorizing each time) instead of OSQP's data-dependent trigger; this
-  keeps every batch lane on the same program.
+- ρ adapts only on a *static* leading-chunk schedule
+  (``rho_adapt_chunks``) instead of OSQP's data-dependent trigger: every
+  batch lane stays on one program, and the expensive refactorization is
+  bounded.
 - primal/dual infeasibility certificates use the δx/δy tests on the same
   fixed schedule.
+- successive solves can carry the adapted ρ (``rho0``), the Ruiz scaling
+  (``fixed_scaling``), and the KKT inverse (``kkt_inv0``, refreshed by
+  Newton–Schulz) — the OSQP workspace idea extended to factorization reuse.
+- the iteration chunks optionally run as a Pallas kernel with the lane's
+  matrices pinned in VMEM (``use_pallas``).
 """
 
 from __future__ import annotations
