@@ -20,14 +20,13 @@ import jax.numpy as jnp
 import numpy as np
 from flax import struct
 
-from .exact_gp import GPPrediction
 from .features import (
     AtmosphereModel,
     RotationalFeatureExtractor,
     Simple3DoFFeatureExtractor,
     TranslationalFeatureExtractor,
 )
-from .kernels import SquaredExponentialARD, create_kernel
+from .kernels import create_kernel
 from .sparse_gp import (
     MultiOutputSparseGPState,
     fit_sparse_multi,

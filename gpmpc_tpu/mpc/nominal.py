@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 
 from .gp_mpc import GPMPCConfig, GPMPCState, gp_mpc_init, gp_mpc_solve
-from .rti import RTIConfig
+
 
 Array = jax.Array
 
