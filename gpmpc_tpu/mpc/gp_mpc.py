@@ -23,6 +23,8 @@ from flax import struct
 
 from ..dynamics.linearize import trajectory_jacobians
 from ..ops.qp import SOLVED, build_mpc_qp, join_z, solve, split_z
+from ..ops.qp.admm import _factor, _rho_vec
+from ..ops.qp.ruiz import Scaling, ruiz_equilibrate
 from .rti import RTIConfig
 from .uncertainty_prop import box_tightening, propagate_linear
 
@@ -43,6 +45,12 @@ class GPMPCConfig:
     tighten: bool = struct.field(pytree_node=False, default=True)
     confidence: float = 0.95
     sigma0_scale: float = 1e-6
+    # carry the KKT inverse across SCP iterations AND control steps: the Ruiz
+    # scaling is frozen at init and each SCP subproblem's factorization
+    # becomes a Newton–Schulz refresh of the previous inverse (same machinery
+    # as RTIConfig.warm_kkt). Requires gp_mpc_init(..., step_fn=...) and an
+    # admm config with adaptive_rho disabled (ρ rides in the state).
+    warm_kkt: bool = struct.field(pytree_node=False, default=False)
 
 
 class GPMPCSolution(NamedTuple):
@@ -64,6 +72,11 @@ class GPMPCState:
     U_lin: Array
     x_ref: Array
     rho: Array
+    # warm-KKT carry (zero-size placeholders when config.warm_kkt is off)
+    kkt_inv: Array = None
+    scal_D: Array = None
+    scal_E: Array = None
+    scal_c: Array = None
 
 
 def _augmented_rollout(step_fn, gp_mean_fn, X_guess, U, dt):
@@ -107,7 +120,7 @@ def gp_mpc_solve(
     )
 
     def scp_iter(carry, _):
-        X_lin, U_lin, rho, dX_prev, done = carry
+        X_lin, U_lin, rho, kkt_inv, dX_prev, done = carry
 
         # linearize the NOMINAL dynamics; the GP mean enters only the affine
         # defect term c_k (gp_mpc.py:299-321). Differentiating through the GP
@@ -137,7 +150,19 @@ def gp_mpc_solve(
             Xlo, Xhi, Ulo, Uhi,
         )
         z0 = join_z(X_lin, U_lin)
-        sol = solve(data, z0, None, cfg.admm, rho0=rho)
+        if config.warm_kkt:
+            sol = solve(
+                data, z0, None, cfg.admm, rho0=rho,
+                fixed_scaling=Scaling(
+                    D=state.scal_D, E=state.scal_E, c=state.scal_c
+                ),
+                kkt_inv0=kkt_inv,
+            )
+            # keep a frozen lane's inverse untouched so later control steps
+            # resume the refresh chain from the last live factorization
+            kkt_inv = jnp.where(done, kkt_inv, sol.kkt_inv)
+        else:
+            sol = solve(data, z0, None, cfg.admm, rho0=rho)
         ok = sol.status == SOLVED
         X_new, U_new = split_z(sol.x, N, n_x, n_u)
         X_new = jnp.where(ok, X_new, X_lin)
@@ -147,23 +172,29 @@ def gp_mpc_solve(
         newly_done = dX < config.convergence_tol
         X_out = jnp.where(done, X_lin, X_new)
         U_out = jnp.where(done, U_lin, U_new)
-        return (X_out, U_out, sol.rho, dX, done | newly_done), (ok, prop.covariances)
+        return (X_out, U_out, sol.rho, kkt_inv, dX, done | newly_done), (
+            ok, prop.covariances
+        )
 
     init = (
         X_sim,
         state.U_lin,
         state.rho,
+        state.kkt_inv,
         jnp.asarray(jnp.inf, x0.dtype),
         jnp.asarray(False),
     )
-    (X_opt, U_opt, rho, dX, converged), (oks, Sigma_hist) = jax.lax.scan(
+    (X_opt, U_opt, rho, kkt_inv, dX, converged), (oks, Sigma_hist) = jax.lax.scan(
         scp_iter, init, None, length=config.scp_iterations
     )
 
     # re-anchor the trajectory at the measured state for the next cycle
     X_shift = jnp.concatenate([X_opt[1:], X_opt[-1:]], axis=0)
     U_shift = jnp.concatenate([U_opt[1:], U_opt[-1:]], axis=0)
-    new_state = state.replace(X_lin=X_shift, U_lin=U_shift, rho=rho)
+    new_state = state.replace(
+        X_lin=X_shift, U_lin=U_shift, rho=rho,
+        **({"kkt_inv": kkt_inv} if config.warm_kkt else {}),
+    )
 
     e = X_opt - state.x_ref
     cost = jnp.einsum("ki,ij,kj->", e[:-1], cfg.Q, e[:-1]) + jnp.einsum(
@@ -188,18 +219,50 @@ def gp_mpc_solve(
 def gp_mpc_init(
     config: GPMPCConfig, x0: Array, x_target: Array,
     X_init: Optional[Array] = None, U_init: Optional[Array] = None,
+    step_fn: Optional[Callable[[Array, Array], Array]] = None,
+    gp_mean_fn: Optional[Callable[[Array, Array], Array]] = None,
 ) -> GPMPCState:
+    """With ``config.warm_kkt`` pass ``step_fn`` (and the live ``gp_mean_fn``
+    if any) so the initial Ruiz scaling and KKT inverse can be computed on
+    the QP the first SCP iteration will actually see — the augmented rollout
+    from x0, not the interpolation (same re-anchoring rule as
+    ``rti.rti_init``: a mismatched initial inverse starts outside the
+    Newton–Schulz convergence region)."""
     cfg = config.base
     N = cfg.N
+    dtype = x0.dtype
     alphas = jnp.linspace(0.0, 1.0, N + 1)[:, None]
     X_lin = (1 - alphas) * x0[None] + alphas * x_target[None] if X_init is None else X_init
     U_lin = (
         jnp.tile(jnp.zeros(cfg.n_u).at[0].set(x0[0]), (N, 1)) if U_init is None else U_init
     )
+    if config.warm_kkt:
+        if step_fn is None:
+            raise ValueError("warm_kkt requires gp_mpc_init(..., step_fn=...)")
+        gmean = gp_mean_fn or (lambda x, u: jnp.zeros(cfg.n_x, dtype))
+        X_fact = _augmented_rollout(
+            step_fn, gmean, X_lin.at[0].set(x0), U_lin, cfg.dt
+        )
+        Aks, Bks, cks = trajectory_jacobians(step_fn, X_fact, U_lin)
+        data = build_mpc_qp(
+            Aks, Bks, cks, x0, cfg.Q, cfg.R, cfg.Qf,
+            jnp.tile(x_target, (N + 1, 1)),
+            cfg.x_min, cfg.x_max, cfg.u_min, cfg.u_max,
+        )
+        sdata, scal = ruiz_equilibrate(data, max(cfg.admm.scaling, 3))
+        rho_v = _rho_vec(sdata.l, sdata.u, jnp.asarray(cfg.admm.rho, dtype))
+        kkt_inv = _factor(sdata.P, sdata.A, rho_v, cfg.admm.sigma)
+        D, E, c = scal.D, scal.E, scal.c
+    else:
+        kkt_inv = jnp.zeros((0, 0), dtype)
+        D = jnp.zeros(0, dtype)
+        E = jnp.zeros(0, dtype)
+        c = jnp.asarray(1.0, dtype)
     return GPMPCState(
         X_lin=X_lin, U_lin=U_lin,
         x_ref=jnp.tile(x_target, (N + 1, 1)),
         rho=jnp.asarray(cfg.admm.rho, X_lin.dtype),
+        kkt_inv=kkt_inv, scal_D=D, scal_E=E, scal_c=c,
     )
 
 
@@ -210,7 +273,11 @@ def make_gp_mpc_controller(
     """(controller_init, controller_step) for the Monte-Carlo protocol."""
 
     def cinit(x0):
-        st = gp_mpc_init(config, x0, x_target)
+        st = gp_mpc_init(
+            config, x0, x_target,
+            step_fn=step_fn if config.warm_kkt else None,
+            gp_mean_fn=gp_mean_fn if config.warm_kkt else None,
+        )
         if reference_fn is not None:
             Xr = reference_fn(x0)
             need = ref_horizon + config.base.N + 1

@@ -64,7 +64,10 @@ class NominalMPC:
         )
 
     def setup(self, x0: Array, x_target: Array) -> None:
-        self._state = gp_mpc_init(self.config, x0, x_target)
+        self._state = gp_mpc_init(
+            self.config, x0, x_target,
+            step_fn=self.step_fn if self.config.warm_kkt else None,
+        )
 
     def solve(self, x0: Array, x_target: Optional[Array] = None) -> MPCSolution:
         """Receding-horizon solve with internal warm-start carry."""

@@ -180,6 +180,59 @@ class TestGPMPC:
         assert results[True]["v"] <= results[False]["v"] + 0.05, results
 
 
+class TestGPMPCWarmKKT:
+    @pytest.mark.slow
+    def test_warm_kkt_scp_matches_cholesky_path(self):
+        """GPMPCConfig.warm_kkt (frozen Ruiz scaling + Newton-Schulz refresh
+        carried across SCP iterations and control steps) must reproduce the
+        per-subproblem Cholesky factorization's landings."""
+        from gpmpc_tpu.mpc import RTIConfig
+        from gpmpc_tpu.mpc.gp_mpc import make_gp_mpc_controller
+        from gpmpc_tpu.ops.qp import ADMMConfig
+        from gpmpc_tpu.reference import cubic_descent_reference
+
+        p = Rocket3DoFParams()
+        dt = 0.1
+        F = lambda x, u: r3.step(p, x, u, dt)
+        xT = jnp.zeros(7).at[0].set(2.0)
+        zero_mean = lambda x, u: jnp.zeros(7)
+        zero_var = lambda x, u: jnp.zeros(3)
+        results = {}
+        for warm in (False, True):
+            cfg = GPMPCConfig(
+                base=RTIConfig(N=20, admm=ADMMConfig(
+                    max_iter=100, polish=True, adaptive_rho=False, scaling=3)),
+                scp_iterations=2, tighten=False, warm_kkt=warm)
+            ref_fn = lambda x0: cubic_descent_reference(x0, xT, 100, dt)
+            cinit, cstep = make_gp_mpc_controller(
+                F, zero_mean, zero_var, cfg, xT,
+                reference_fn=ref_fn, ref_horizon=130)
+
+            @jax.jit
+            def run(x, cinit=cinit, cstep=cstep):
+                cstate = cinit(x)
+
+                def body(carry, k):
+                    x, cstate, landed = carry
+                    u, cstate = cstep(cstate, x, k)
+                    xn = jnp.where(landed, x, F(x, u))
+                    return (xn, cstate, landed | (xn[1] < 0.1)), None
+
+                (xf, _, landed), _ = jax.lax.scan(
+                    body, (x, cstate, jnp.asarray(False)), jnp.arange(130))
+                return xf, landed
+
+            x0s = jnp.tile(jnp.array([2.0, 30.0, 0.5, -0.5, -3.0, 0.0, 0.0]),
+                           (2, 1))
+            x0s = x0s.at[:, 1].add(jnp.array([-3.0, 3.0]))
+            xf, landed = jax.vmap(run)(x0s)
+            assert bool(landed.all()), f"warm={warm}"
+            v = np.linalg.norm(np.asarray(xf)[:, 4:7], axis=1)
+            assert float(v.max()) < 1.0, f"warm={warm}"
+            results[warm] = np.asarray(xf)
+        np.testing.assert_allclose(results[True], results[False], atol=0.01)
+
+
 class TestGPMPC6DoF:
     """6-DoF GP-MPC: the StructuredRocketGP residual model in the 14-state
     SCP loop (SURVEY.md §7 M7 final milestone)."""
