@@ -29,9 +29,33 @@ from flax import struct
 from ..dynamics.linearize import trajectory_jacobians
 from ..ops.qp import ADMMConfig, SOLVED, build_mpc_qp, join_z, solve, split_z
 from ..ops.qp.admm import _factor, _rho_vec
+from ..ops.qp.mpc_qp import build_stage_rows, extend_qp
 from ..ops.qp.ruiz import Scaling, ruiz_equilibrate
 
 Array = jax.Array
+
+
+def _n_extra_rows(config) -> int:
+    n_gx = 0 if config.Gx is None else config.Gx.shape[0]
+    n_gu = 0 if config.Gu is None else config.Gu.shape[0]
+    return config.N * (n_gx + n_gu)
+
+
+def _build_rti_qp(config, Aks, Bks, cks, x_current, x_ref):
+    """The LTV QP plus any configured per-stage facet rows."""
+    data = build_mpc_qp(
+        Aks, Bks, cks, x_current,
+        config.Q, config.R, config.Qf, x_ref,
+        config.x_min, config.x_max, config.u_min, config.u_max,
+    )
+    if config.Gx is not None or config.Gu is not None:
+        A_ext, l_ext, u_ext = build_stage_rows(
+            config.N, config.n_x, config.n_u,
+            config.Gx, config.gx_l, config.gx_u,
+            config.Gu, config.gu_l, config.gu_u,
+        )
+        data = extend_qp(data, A_ext, l_ext, u_ext)
+    return data
 
 
 @struct.dataclass
@@ -88,6 +112,16 @@ class RTIConfig:
     # reality and makes the lateral channels chatter; re-anchoring costs one
     # rollout and keeps the linearization honest.
     reanchor: bool = struct.field(pytree_node=False, default=True)
+    # optional per-stage general linear rows (polyhedral glideslope /
+    # gimbal-cone facets): Gx·x_k ∈ [gx_l, gx_u] for k=1..N (stage 0 is
+    # pinned by the x_init equality), Gu·u_k ∈ [gu_l, gu_u] for every
+    # k < N. None disables (pure box QP).
+    Gx: Optional[Array] = None
+    gx_l: Optional[Array] = None
+    gx_u: Optional[Array] = None
+    Gu: Optional[Array] = None
+    gu_l: Optional[Array] = None
+    gu_u: Optional[Array] = None
 
 
 @struct.dataclass
@@ -141,9 +175,9 @@ def rti_init(
         U_lin = jnp.tile(u_hover, (N, 1))
     else:
         U_lin = U_init
-    # total constraint rows = eq rows (N+1)·n_x + n_vars bound rows
+    # total rows = eq rows (N+1)·n_x + n_vars bound rows + facet rows
     n_vars = (N + 1) * config.n_x + N * config.n_u
-    m = (N + 1) * config.n_x + n_vars
+    m = (N + 1) * config.n_x + n_vars + _n_extra_rows(config)
     dtype = X_lin.dtype
     if config.warm_kkt:
         if step_fn is None:
@@ -162,10 +196,8 @@ def rti_init(
         else:
             X_fact = X_lin
         Aks, Bks, cks = trajectory_jacobians(step_fn, X_fact, U_lin)
-        data = build_mpc_qp(
-            Aks, Bks, cks, x0, config.Q, config.R, config.Qf,
-            jnp.tile(x_target, (N + 1, 1)),
-            config.x_min, config.x_max, config.u_min, config.u_max,
+        data = _build_rti_qp(
+            config, Aks, Bks, cks, x0, jnp.tile(x_target, (N + 1, 1))
         )
         sdata, scal = ruiz_equilibrate(data, max(config.admm.scaling, 3))
         rho_v = _rho_vec(sdata.l, sdata.u, jnp.asarray(config.admm.rho, dtype))
@@ -217,11 +249,7 @@ def rti_step(
 
     # preparation: linearize along the current trajectory (AD, vmapped)
     Aks, Bks, cks = trajectory_jacobians(step_fn, state.X_lin, state.U_lin)
-    data = build_mpc_qp(
-        Aks, Bks, cks, x_current,
-        config.Q, config.R, config.Qf, state.x_ref,
-        config.x_min, config.x_max, config.u_min, config.u_max,
-    )
+    data = _build_rti_qp(config, Aks, Bks, cks, x_current, state.x_ref)
 
     # feedback: warm-started ADMM solve
     z0 = join_z(state.X_prev, state.U_prev)
@@ -290,11 +318,7 @@ def rti_feedback(
     phases are pipelined around the measurement; ``rti_step`` fuses both."""
     N = config.N
     Aks, Bks, cks = prepared
-    data = build_mpc_qp(
-        Aks, Bks, cks, x_current,
-        config.Q, config.R, config.Qf, state.x_ref,
-        config.x_min, config.x_max, config.u_min, config.u_max,
-    )
+    data = _build_rti_qp(config, Aks, Bks, cks, x_current, state.x_ref)
     z0 = join_z(state.X_prev, state.U_prev)
     y0 = state.y_prev if config.warm_start_duals else jnp.zeros_like(state.y_prev)
     sol = solve(data, z0, y0, config.admm, rho0=state.rho)

@@ -8,7 +8,12 @@ gimbal cone are handled by
 
 - an inner box approximation in the QP: u_x ∈ [T_min·cosδ_max + margin,
   T_max], |u_y|,|u_z| ≤ T_max·sinδ_max/√2 (every box point satisfies both
-  ‖u‖ ≤ T_max and the gimbal cone; the lower bound keeps ‖u‖ ≥ T_min), and
+  ‖u‖ ≤ T_max and the gimbal cone; the lower bound keeps ‖u‖ ≥ T_min), or
+- polyhedral cone facets (``rti_config_6dof(cone_facets=8)``): per-stage
+  linear rows cosφ_j·u_y + sinφ_j·u_z ≤ cos(π/n)·tanδ_max·u_x — an inner
+  approximation of the true cone that couples lateral to axial authority
+  instead of capping it at the T_min corner (ditto ``glideslope_facets``
+  for the position cone), and always
 - exact post-projection ``clamp_thrust ∘ clamp_gimbal`` on the applied u0
   (mirroring the reference's post-hoc handling, ``rocket_6dof.py:634-669``).
 
@@ -48,6 +53,51 @@ def control_box_6dof(params: Rocket6DoFParams) -> Tuple[Array, Array]:
     return u_min, u_max
 
 
+def gimbal_cone_rows(
+    params: Rocket6DoFParams, n_facets: int = 8
+) -> Tuple[Array, Array, Array]:
+    """Inner polyhedral facets of the gimbal cone ‖u_perp‖ ≤ u_x·tanδ_max.
+
+    Facet j: cosφ_j·u_y + sinφ_j·u_z ≤ cos(π/n)·tanδ_max·u_x. Because
+    max_j(cosφ_j a + sinφ_j b) ≥ ‖(a,b)‖·cos(π/n), every point satisfying all
+    facets satisfies the true cone — an inner approximation whose loss is
+    1−cos(π/n) (≈8% at n=8, 2% at n=16), versus the lateral box's
+    T_min·sinδ/√2 cap which forfeits most of the cone at high throttle.
+    Returns (Gu, gu_l, gu_u) for :class:`rti.RTIConfig`.
+    """
+    phis = 2.0 * math.pi * jnp.arange(n_facets) / n_facets
+    shrink = math.cos(math.pi / n_facets) * math.tan(params.delta_max)
+    Gu = jnp.stack(
+        [-shrink * jnp.ones(n_facets), jnp.cos(phis), jnp.sin(phis)], axis=1
+    )
+    return Gu, jnp.full(n_facets, -jnp.inf), jnp.zeros(n_facets)
+
+
+def glideslope_rows(
+    gamma_gs: float, n_x: int, n_facets: int = 8, h_offset: float = 0.2
+) -> Tuple[Array, Array, Array]:
+    """Inner polyhedral facets of the glideslope cone ‖r_horiz‖ ≤ h·tanγ
+    (``constraints.eval_glideslope``; reference
+    ``src/mpc/constraints.py:112-132``). Uses the shared state layout
+    x = [m, h, r_y, r_z, …] of both rocket models. ``h_offset`` drops the
+    cone vertex that far below the pad (‖r_horiz‖ ≤ (h+h₀)·tanγ) so the
+    terminal-approach QPs stay feasible as h → 0 — without it the cone
+    pinches to a point at touchdown and the last few cycles fall back to
+    the shifted plan. Returns (Gx, gx_l, gx_u).
+    """
+    phis = 2.0 * math.pi * jnp.arange(n_facets) / n_facets
+    shrink = math.cos(math.pi / n_facets) * math.tan(gamma_gs)
+    Gx = jnp.zeros((n_facets, n_x))
+    Gx = Gx.at[:, 1].set(-shrink)
+    Gx = Gx.at[:, 2].set(jnp.cos(phis))
+    Gx = Gx.at[:, 3].set(jnp.sin(phis))
+    return (
+        Gx,
+        jnp.full(n_facets, -jnp.inf),
+        jnp.full(n_facets, shrink * h_offset),
+    )
+
+
 def state_box_6dof(params: Rocket6DoFParams) -> Tuple[Array, Array]:
     """State bounds: loose translation boxes + tilt/rate inner boxes."""
     big = 1e20
@@ -70,12 +120,33 @@ def rti_config_6dof(
     dt: float = 0.1,
     weights: Optional[CostWeights] = None,
     admm: Optional[ADMMConfig] = None,
+    cone_facets: int = 0,
+    glideslope_facets: int = 0,
 ) -> RTIConfig:
-    """Build an :class:`RTIConfig` for the 14-state quaternion model."""
+    """Build an :class:`RTIConfig` for the 14-state quaternion model.
+
+    ``cone_facets > 0`` replaces the conservative lateral-thrust box with
+    that many polyhedral gimbal-cone rows in the QP (the box then only caps
+    u_x and the outer lateral extent T_max·sinδ; the facets couple lateral
+    to axial authority). ``glideslope_facets > 0`` adds position glideslope
+    rows. 0 keeps the pure box QP.
+    """
     params = params or Rocket6DoFParams()
     w = weights or CostWeights()
-    u_min, u_max = control_box_6dof(params)
     x_min, x_max = state_box_6dof(params)
+    extra = {}
+    if cone_facets:
+        ux_min = params.T_min * math.cos(params.delta_max)
+        lat = params.T_max * math.sin(params.delta_max)
+        u_min = jnp.array([ux_min + 1e-3, -lat, -lat])
+        u_max = jnp.array([params.T_max, lat, lat])
+        Gu, gu_l, gu_u = gimbal_cone_rows(params, cone_facets)
+        extra.update(Gu=Gu, gu_l=gu_l, gu_u=gu_u)
+    else:
+        u_min, u_max = control_box_6dof(params)
+    if glideslope_facets:
+        Gx, gx_l, gx_u = glideslope_rows(params.gamma_gs, 14, glideslope_facets)
+        extra.update(Gx=Gx, gx_l=gx_l, gx_u=gx_u)
     return RTIConfig(
         N=N,
         dt=dt,
@@ -89,6 +160,7 @@ def rti_config_6dof(
         u_min=u_min,
         u_max=u_max,
         admm=admm or ADMMConfig(max_iter=100, polish=True),
+        **extra,
     )
 
 

@@ -7,6 +7,8 @@ from .mpc_qp import (
     build_constraints,
     build_cost,
     build_mpc_qp,
+    build_stage_rows,
+    extend_qp,
     join_z,
     n_constraints,
     n_vars,
@@ -34,6 +36,8 @@ __all__ = [
     "build_constraints",
     "build_cost",
     "build_mpc_qp",
+    "build_stage_rows",
+    "extend_qp",
     "join_z",
     "n_constraints",
     "n_vars",

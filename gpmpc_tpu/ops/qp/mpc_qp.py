@@ -131,6 +131,61 @@ def build_constraints(
     return A, l, u
 
 
+def build_stage_rows(
+    N: int,
+    n_x: int,
+    n_u: int,
+    Gx: Optional[Array] = None,  # (n_gx, n_x) applied to x_k, k=1..N
+    gx_l: Optional[Array] = None,
+    gx_u: Optional[Array] = None,
+    Gu: Optional[Array] = None,  # (n_gu, n_u) applied to every u_k, k=0..N-1
+    gu_l: Optional[Array] = None,
+    gu_u: Optional[Array] = None,
+) -> Tuple[Array, Array, Array]:
+    """Per-stage general linear rows Gx·x_k ∈ [gx_l, gx_u], Gu·u_k ∈
+    [gu_l, gu_u] in the interleaved decision layout — the polyhedral
+    glideslope / gimbal-cone facets that identity bound rows can't express
+    (the reference enforces these inside its CasADi NLPs,
+    ``/root/reference/src/mpc/constraints.py:112-209``; here they are plain
+    QP rows appended to the LTV problem). State rows skip stage 0: x_0 is
+    pinned by the x_init equality, so a facet row there is redundant when
+    satisfied and makes the whole QP infeasible when the *measured* state
+    starts outside the set. Returns (A_ext, l_ext, u_ext)."""
+    nz = n_vars(N, n_x, n_u)
+    n_gx = 0 if Gx is None else Gx.shape[0]
+    n_gu = 0 if Gu is None else Gu.shape[0]
+    dtype = (Gx if Gx is not None else Gu).dtype
+    m_ext = N * n_gx + N * n_gu
+    A = jnp.zeros((m_ext, nz), dtype)
+    ls, us = [], []
+    if n_gx:
+        s = jnp.arange(1, N + 1)
+        ri = ((s - 1) * n_gx)[:, None, None] + jnp.arange(n_gx)[None, :, None]
+        ci = (s * (n_x + n_u))[:, None, None] + jnp.arange(n_x)[None, None, :]
+        A = A.at[ri, ci].set(jnp.broadcast_to(Gx, (N, n_gx, n_x)))
+        ls.append(jnp.tile(gx_l, N))
+        us.append(jnp.tile(gx_u, N))
+    if n_gu:
+        s = jnp.arange(N)
+        ri = (N * n_gx + s * n_gu)[:, None, None] + jnp.arange(n_gu)[None, :, None]
+        ci = (s * (n_x + n_u) + n_x)[:, None, None] + jnp.arange(n_u)[None, None, :]
+        A = A.at[ri, ci].set(jnp.broadcast_to(Gu, (N, n_gu, n_u)))
+        ls.append(jnp.tile(gu_l, N))
+        us.append(jnp.tile(gu_u, N))
+    return A, jnp.concatenate(ls), jnp.concatenate(us)
+
+
+def extend_qp(data: QPData, A_ext: Array, l_ext: Array, u_ext: Array) -> QPData:
+    """Append general constraint rows to a built QP (cost unchanged)."""
+    return QPData(
+        P=data.P,
+        q=data.q,
+        A=jnp.concatenate([data.A, A_ext], axis=0),
+        l=jnp.concatenate([data.l, l_ext]),
+        u=jnp.concatenate([data.u, u_ext]),
+    )
+
+
 def build_mpc_qp(
     Aks: Array,
     Bks: Array,

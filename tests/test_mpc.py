@@ -4,6 +4,8 @@ The RTI landing test mirrors the reference's de-facto integration test
 criteria (`demo_mpc_tracking.py:182-187`): pos err <1 m, vel <2 m/s.
 """
 
+import math
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -233,7 +235,90 @@ class TestRTI6DoF:
             assert float(jnp.linalg.norm(u)) <= p.T_max + 1e-6
 
 
-class TestNominalMPC:
+class TestStageRows:
+    """Per-stage facet rows in the RTI QP (polyhedral glideslope / gimbal
+    cone — the reference enforces these in its CasADi NLPs)."""
+
+    def test_build_stage_rows_layout(self):
+        from gpmpc_tpu.ops.qp import build_stage_rows, join_z
+
+        key = jax.random.PRNGKey(0)
+        N, n_x, n_u, gx, gu = 4, 5, 2, 3, 2
+        Gx = jax.random.normal(key, (gx, n_x))
+        Gu = jax.random.normal(jax.random.fold_in(key, 1), (gu, n_u))
+        A, l, u = build_stage_rows(
+            N, n_x, n_u,
+            Gx, -jnp.ones(gx), jnp.ones(gx),
+            Gu, -2 * jnp.ones(gu), 2 * jnp.ones(gu))
+        X = jax.random.normal(jax.random.fold_in(key, 2), (N + 1, n_x))
+        U = jax.random.normal(jax.random.fold_in(key, 3), (N, n_u))
+        z = join_z(X, U)
+        expect = jnp.concatenate(
+            [(X[1:] @ Gx.T).reshape(-1), (U @ Gu.T).reshape(-1)])
+        np.testing.assert_allclose(np.asarray(A @ z), np.asarray(expect),
+                                   atol=1e-5)
+        assert A.shape[0] == N * (gx + gu) == l.shape[0] == u.shape[0]
+
+    def test_glideslope_rows_bind_in_rti_plan(self):
+        """Track a reference OUTSIDE the glideslope cone: the plan must hug
+        the cone (rows bind) instead of following the reference out."""
+        import math
+        from gpmpc_tpu.mpc import RTIConfig, eval_glideslope, glideslope_rows
+        from gpmpc_tpu.mpc.rti import rti_init, rti_step
+
+        p = Rocket3DoFParams()
+        gamma = math.radians(30.0)
+        h_off = 0.2
+        # near the cone boundary (y ≤ h·tan30° = 5.77) drifting outward
+        x0 = jnp.array([2.0, 10.0, 4.5, 0.0, -0.5, 1.0, 0.0])
+        # reference parked far outside the cone laterally
+        x_bad = jnp.array([2.0, 8.0, 15.0, 0.0, 0.0, 1.0, 0.0])
+        results = {}
+        from gpmpc_tpu.ops.qp import ADMMConfig
+
+        for label, kw in (
+            ("plain", {}),
+            ("gs", dict(zip(("Gx", "gx_l", "gx_u"),
+                            glideslope_rows(gamma, 7, 8, h_offset=h_off)))),
+        ):
+            # cold single solve pushed against the facets converges slowly —
+            # give ADMM real headroom (a one-off QP, not the RTI hot path)
+            cfg = RTIConfig(N=15,
+                            admm=ADMMConfig(max_iter=2000, polish=True), **kw)
+            F = lambda x, u: r3.step(p, x, u, cfg.dt)
+            st = rti_init(cfg, x0, x_bad)
+            sol, _ = rti_step(F, cfg, st, x0)
+            assert bool(sol.success), label
+            margins = eval_glideslope(
+                sol.X_opt[1:, 1:4] + jnp.array([h_off, 0.0, 0.0]), gamma)
+            results[label] = float(jnp.min(margins))
+        # unconstrained plan chases the reference out of the cone...
+        assert results["plain"] < -0.5, results
+        # ...facet rows keep every planned stage inside (inner approx + tol)
+        assert results["gs"] > -1e-2, results
+
+    def test_cone_facet_rows_respect_gimbal_in_plan(self):
+        from gpmpc_tpu.dynamics import Rocket6DoFParams, rocket6dof as r6
+        from gpmpc_tpu.mpc import rti_config_6dof
+        from gpmpc_tpu.mpc.rti import rti_init, rti_step
+
+        from gpmpc_tpu.ops.qp import ADMMConfig
+
+        p = Rocket6DoFParams()
+        cfg = rti_config_6dof(
+            p, cone_facets=8, admm=ADMMConfig(max_iter=400, polish=True))
+        F = lambda x, u: r6.step(p, x, u, cfg.dt)
+        xT = r6.create_initial_state(p, altitude=0.0)
+        x0 = r6.create_initial_state(
+            p, altitude=15.0, horizontal=(1.0, -0.5), velocity=(-2.0, 0.2, 0.0))
+        st = rti_init(cfg, x0, xT)
+        sol, _ = rti_step(F, cfg, st, x0)
+        assert bool(sol.success)
+        # every planned control satisfies the true gimbal cone (inner approx)
+        gim = jax.vmap(lambda u: r6.gimbal_constraint(p, u))(sol.U_opt)
+        assert float(gim.max()) <= 1e-3
+        # and the lateral box is the full T_max·sinδ, not the T_min corner
+        assert float(cfg.u_max[1]) > p.T_min * math.sin(p.delta_max)
     def test_solve_and_closed_loop(self):
         from gpmpc_tpu.mpc import MPCConfig, NominalMPC3DoF
 
