@@ -22,10 +22,10 @@ import jax.numpy as jnp
 from flax import struct
 
 from ..dynamics.linearize import trajectory_jacobians
-from ..ops.qp import SOLVED, build_mpc_qp, join_z, solve, split_z
+from ..ops.qp import SOLVED, build_mpc_qp, extend_qp, join_z, solve, split_z
 from ..ops.qp.admm import _factor, _rho_vec
 from ..ops.qp.ruiz import Scaling, ruiz_equilibrate
-from .rti import RTIConfig
+from .rti import RTIConfig, _stage_rows
 from .uncertainty_prop import box_tightening, propagate_linear
 
 Array = jax.Array
@@ -149,6 +149,10 @@ def gp_mpc_solve(
             Aks, Bks, cks, x0, cfg.Q, cfg.R, cfg.Qf, state.x_ref,
             Xlo, Xhi, Ulo, Uhi,
         )
+        if cfg.Gx is not None or cfg.Gu is not None:
+            # facet rows (glideslope / gimbal cone) ride along in every SCP
+            # subproblem, same as the RTI path
+            data = extend_qp(data, *_stage_rows(cfg))
         z0 = join_z(X_lin, U_lin)
         if config.warm_kkt:
             sol = solve(
@@ -249,6 +253,8 @@ def gp_mpc_init(
             jnp.tile(x_target, (N + 1, 1)),
             cfg.x_min, cfg.x_max, cfg.u_min, cfg.u_max,
         )
+        if cfg.Gx is not None or cfg.Gu is not None:
+            data = extend_qp(data, *_stage_rows(cfg))
         sdata, scal = ruiz_equilibrate(data, max(cfg.admm.scaling, 3))
         rho_v = _rho_vec(sdata.l, sdata.u, jnp.asarray(cfg.admm.rho, dtype))
         kkt_inv = _factor(sdata.P, sdata.A, rho_v, cfg.admm.sigma)

@@ -41,6 +41,15 @@ def _n_extra_rows(config) -> int:
     return config.N * (n_gx + n_gu)
 
 
+def _stage_rows(config):
+    """(A_ext, l_ext, u_ext) for the configured facet rows."""
+    return build_stage_rows(
+        config.N, config.n_x, config.n_u,
+        config.Gx, config.gx_l, config.gx_u,
+        config.Gu, config.gu_l, config.gu_u,
+    )
+
+
 def _build_rti_qp(config, Aks, Bks, cks, x_current, x_ref):
     """The LTV QP plus any configured per-stage facet rows."""
     data = build_mpc_qp(
@@ -49,12 +58,7 @@ def _build_rti_qp(config, Aks, Bks, cks, x_current, x_ref):
         config.x_min, config.x_max, config.u_min, config.u_max,
     )
     if config.Gx is not None or config.Gu is not None:
-        A_ext, l_ext, u_ext = build_stage_rows(
-            config.N, config.n_x, config.n_u,
-            config.Gx, config.gx_l, config.gx_u,
-            config.Gu, config.gu_l, config.gu_u,
-        )
-        data = extend_qp(data, A_ext, l_ext, u_ext)
+        data = extend_qp(data, *_stage_rows(config))
     return data
 
 
