@@ -27,7 +27,7 @@ from flax import struct
 
 from ..dynamics.linearize import trajectory_jacobians
 from ..ops.qp import ADMMConfig, QPData, SOLVED, join_z, solve, split_z
-from ..ops.qp.mpc_qp import build_constraints
+from ..ops.qp.mpc_qp import build_constraints, build_stage_rows
 
 Array = jax.Array
 
@@ -62,6 +62,15 @@ class SCVXConfig:
     admm: ADMMConfig = struct.field(
         default_factory=lambda: ADMMConfig(max_iter=400, polish=True)
     )
+    # optional per-stage facet rows (e.g. mpc.glideslope_rows — the
+    # reference's SCVX formulation carries the glideslope constraint,
+    # scvx_interface.py:261-280); Gx applies to x_k for k=1..N, Gu to u_k
+    Gx: Optional[Array] = None
+    gx_l: Optional[Array] = None
+    gx_u: Optional[Array] = None
+    Gu: Optional[Array] = None
+    gu_l: Optional[Array] = None
+    gu_u: Optional[Array] = None
 
 
 class SCVXSolution(NamedTuple):
@@ -128,6 +137,15 @@ def scvx_solve(
         Ulo = jnp.maximum(config.u_min[None, :], U - config.trust_u)
         Uhi = jnp.minimum(config.u_max[None, :], U + config.trust_u)
         A, l, u = build_constraints(Aks, Bks, cks, x0, Xlo, Xhi, Ulo, Uhi)
+        if config.Gx is not None or config.Gu is not None:
+            A_ext, l_ext, u_ext = build_stage_rows(
+                N, n_x, n_u,
+                config.Gx, config.gx_l, config.gx_u,
+                config.Gu, config.gu_l, config.gu_u,
+            )
+            A = jnp.concatenate([A, A_ext], axis=0)
+            l = jnp.concatenate([l, l_ext])
+            u = jnp.concatenate([u, u_ext])
 
         P = jnp.zeros((nz, nz))
         stage = jax.scipy.linalg.block_diag(Q, R)

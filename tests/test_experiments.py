@@ -230,6 +230,27 @@ class TestSCVX:
         )(x0)
         assert bool(sol.converged)
 
+    def test_glideslope_facets_in_subproblems(self, p3):
+        """SCVX with glideslope facet rows: planned path stays inside the
+        cone (with the vertex offset) and still reaches the target."""
+        import math
+
+        from gpmpc_tpu.mpc import eval_glideslope, glideslope_rows
+
+        step_dt = lambda x, u, dt: r3.step(p3, x, u, dt)
+        gamma = math.radians(30.0)
+        cfg = SCVXConfig(N=40, **dict(zip(
+            ("Gx", "gx_l", "gx_u"), glideslope_rows(gamma, 7, 8))))
+        x0 = jnp.array([2.0, 25.0, 8.0, 0.0, -1.0, -0.5, 0.0])
+        xT = jnp.zeros(7).at[0].set(2.0)
+        sol = jax.jit(lambda x: scvx_solve(step_dt, cfg, x, xT, jnp.asarray(0.2)))(x0)
+        assert float(sol.defect) < 0.5
+        X = np.asarray(sol.X)
+        live = X[:, 1] > 0.15
+        m = eval_glideslope(
+            jnp.asarray(X[live][:, 1:4]) + jnp.array([0.2, 0.0, 0.0]), gamma)
+        assert float(jnp.min(m)) > -5e-2
+
     def test_simple_scvx_feasible(self, p3):
         ss = SimpleSCVX(lambda x, u, dt: r3.step(p3, x, u, dt))
         x0 = jnp.array([2.0, 15.0, 0.5, 0.0, -2.0, 0.0, 0.0])
