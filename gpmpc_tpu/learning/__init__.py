@@ -32,6 +32,12 @@ from .online_learner import (
     OnlineLearner,
     OnlineLearningConfig,
 )
+from .pretrain import (
+    collect_residuals_3dof,
+    collect_residuals_6dof,
+    pretrain_gp_3dof,
+    pretrain_gp_6dof,
+)
 
 __all__ = [
     "ActiveDataSelector",
@@ -47,7 +53,11 @@ __all__ = [
     "OnlineLearningConfig",
     "StreamingDataCollector",
     "TransitionStore",
+    "collect_residuals_3dof",
+    "collect_residuals_6dof",
     "compute_residual",
+    "pretrain_gp_3dof",
+    "pretrain_gp_6dof",
     "distance_novelty",
     "novelty_scores",
     "residual_novelty",

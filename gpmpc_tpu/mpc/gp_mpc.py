@@ -25,7 +25,7 @@ from ..dynamics.linearize import trajectory_jacobians
 from ..ops.qp import SOLVED, build_mpc_qp, extend_qp, join_z, solve, split_z
 from ..ops.qp.admm import _factor, _rho_vec
 from ..ops.qp.ruiz import Scaling, ruiz_equilibrate
-from .rti import RTIConfig, _stage_rows
+from .rti import RTIConfig, _n_extra_rows, _stage_rows
 from .uncertainty_prop import box_tightening, propagate_linear
 
 Array = jax.Array
@@ -72,6 +72,11 @@ class GPMPCState:
     U_lin: Array
     x_ref: Array
     rho: Array
+    # ADMM dual warm start, carried across SCP iterations AND control steps
+    # (the OSQP-workspace semantics of the RTI path; without it every
+    # subproblem restarts its duals from zero and real-time iteration budgets
+    # leave the plans primal-feasible but far from optimal)
+    y_prev: Array = None
     # warm-KKT carry (zero-size placeholders when config.warm_kkt is off)
     kkt_inv: Array = None
     scal_D: Array = None
@@ -120,7 +125,7 @@ def gp_mpc_solve(
     )
 
     def scp_iter(carry, _):
-        X_lin, U_lin, rho, kkt_inv, dX_prev, done = carry
+        X_lin, U_lin, rho, y_prev, kkt_inv, dX_prev, done = carry
 
         # linearize the NOMINAL dynamics; the GP mean enters only the affine
         # defect term c_k (gp_mpc.py:299-321). Differentiating through the GP
@@ -156,7 +161,7 @@ def gp_mpc_solve(
         z0 = join_z(X_lin, U_lin)
         if config.warm_kkt:
             sol = solve(
-                data, z0, None, cfg.admm, rho0=rho,
+                data, z0, y_prev, cfg.admm, rho0=rho,
                 fixed_scaling=Scaling(
                     D=state.scal_D, E=state.scal_E, c=state.scal_c
                 ),
@@ -166,8 +171,11 @@ def gp_mpc_solve(
             # resume the refresh chain from the last live factorization
             kkt_inv = jnp.where(done, kkt_inv, sol.kkt_inv)
         else:
-            sol = solve(data, z0, None, cfg.admm, rho0=rho)
-        ok = sol.status == SOLVED
+            sol = solve(data, z0, y_prev, cfg.admm, rho0=rho)
+        # accept primal-feasible plans below the tolerance even when the dual
+        # termination test has not fired, like the RTI path (warm-started SCP
+        # subproblems are primal-feasible long before the duals settle)
+        ok = (sol.status == SOLVED) | (sol.pri_res <= cfg.accept_pri_tol)
         X_new, U_new = split_z(sol.x, N, n_x, n_u)
         X_new = jnp.where(ok, X_new, X_lin)
         U_new = jnp.where(ok, U_new, U_lin)
@@ -176,7 +184,8 @@ def gp_mpc_solve(
         newly_done = dX < config.convergence_tol
         X_out = jnp.where(done, X_lin, X_new)
         U_out = jnp.where(done, U_lin, U_new)
-        return (X_out, U_out, sol.rho, kkt_inv, dX, done | newly_done), (
+        y_out = jnp.where(done | ~ok, y_prev, sol.y)
+        return (X_out, U_out, sol.rho, y_out, kkt_inv, dX, done | newly_done), (
             ok, prop.covariances
         )
 
@@ -184,11 +193,12 @@ def gp_mpc_solve(
         X_sim,
         state.U_lin,
         state.rho,
+        state.y_prev,
         state.kkt_inv,
         jnp.asarray(jnp.inf, x0.dtype),
         jnp.asarray(False),
     )
-    (X_opt, U_opt, rho, kkt_inv, dX, converged), (oks, Sigma_hist) = jax.lax.scan(
+    (X_opt, U_opt, rho, y_prev, kkt_inv, dX, converged), (oks, Sigma_hist) = jax.lax.scan(
         scp_iter, init, None, length=config.scp_iterations
     )
 
@@ -196,7 +206,7 @@ def gp_mpc_solve(
     X_shift = jnp.concatenate([X_opt[1:], X_opt[-1:]], axis=0)
     U_shift = jnp.concatenate([U_opt[1:], U_opt[-1:]], axis=0)
     new_state = state.replace(
-        X_lin=X_shift, U_lin=U_shift, rho=rho,
+        X_lin=X_shift, U_lin=U_shift, rho=rho, y_prev=y_prev,
         **({"kkt_inv": kkt_inv} if config.warm_kkt else {}),
     )
 
@@ -264,10 +274,13 @@ def gp_mpc_init(
         D = jnp.zeros(0, dtype)
         E = jnp.zeros(0, dtype)
         c = jnp.asarray(1.0, dtype)
+    n_vars = (N + 1) * cfg.n_x + N * cfg.n_u
+    m = (N + 1) * cfg.n_x + n_vars + _n_extra_rows(cfg)
     return GPMPCState(
         X_lin=X_lin, U_lin=U_lin,
         x_ref=jnp.tile(x_target, (N + 1, 1)),
         rho=jnp.asarray(cfg.admm.rho, X_lin.dtype),
+        y_prev=jnp.zeros(m, dtype),
         kkt_inv=kkt_inv, scal_D=D, scal_E=E, scal_c=c,
     )
 

@@ -73,6 +73,10 @@ class ADMMConfig:
     # started real-time paths set this to 1 while cold solves keep more
     rho_adapt_chunks: int = struct.field(pytree_node=False, default=4)
     scaling: int = struct.field(pytree_node=False, default=10)
+    # Newton–Schulz refresh iterations for a carried KKT inverse (kkt_inv0);
+    # raise when successive QPs drift fast (e.g. GP-augmented SCP near the
+    # ground) so the inverse keeps tracking the matrix
+    ns_iters: int = struct.field(pytree_node=False, default=4)
     # Active-set KKT polish at exit (OSQP `polish`; reference runs with it off
     # for speed, ``osqp_rti.py:58`` — turn on for high-accuracy SCP/parity).
     polish: bool = struct.field(pytree_node=False, default=False)
@@ -261,7 +265,7 @@ def solve(
     rho_init = jnp.asarray(cfg.rho if rho0 is None else rho0, dtype)
     rho_v = _rho_vec(l, u, rho_init)
     if kkt_inv0 is not None:
-        L = _ns_refresh(P, A, rho_v, cfg.sigma, kkt_inv0)
+        L = _ns_refresh(P, A, rho_v, cfg.sigma, kkt_inv0, iters=cfg.ns_iters)
     else:
         L = _factor(P, A, rho_v, cfg.sigma)
 

