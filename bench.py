@@ -1,15 +1,23 @@
 #!/usr/bin/env python
-"""Benchmark: MPC solves/sec/chip at N=20 and per-scenario control-loop latency.
+"""Benchmark: GP-MPC solves/sec/chip at N=20 — the north-star workload.
 
 Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
 
-Baseline (BASELINE.md): the reference's 50 Hz budget — one OSQP RTI solve per
-20 ms on CPU, i.e. 50 solves/sec. ``vs_baseline`` is our solves/sec/chip over
-that 50/s figure. Each timed unit is the full RTI control cycle (AD
-linearization along the horizon → dense QP build → ADMM+polish → extract →
-shift) plus the plant step, batched over scenarios in lockstep — the same
-work the reference does per ``OSQPRTIMPC.step`` (osqp_rti.py:569-599) plus
-the dynamics propagation.
+Primary metric: full GP-MPC control cycles per second per chip. Each timed
+unit is the complete learning-augmented cycle the reference performs in
+``GPMPC.solve`` (gp_mpc.py:229-353) — GP-augmented re-anchoring rollout, then
+per SCP iteration: AD linearization along the horizon, sparse-GP posterior
+mean AND variance at every knot (fast_gp.py's <5 ms budget, here fused into
+the program), linear covariance propagation + chance-constraint tightening,
+condensed-QP build and warm-started ADMM solve — plus the plant step, batched
+over scenarios in lockstep.
+
+Secondary (in "detail"): the GP-free RTI cycle (the reference's OSQP 50 Hz
+path, osqp_rti.py:569-599) on the same condensed-QP backend, and both
+cycles' wall-clock vs the 20 ms / 50 Hz budget.
+
+Baseline (BASELINE.md): the reference's budget is one solve per 20 ms on CPU
+= 50 solves/s. ``vs_baseline`` = GP-MPC solves/s/chip over that 50/s figure.
 
 Timing notes: on the tunneled TPU backend ``block_until_ready`` does not
 reliably block, so timing is anchored on fetching a scalar reduction of each
@@ -27,87 +35,137 @@ def main():
     import jax.numpy as jnp
 
     from gpmpc_tpu.dynamics import Rocket3DoFParams, rocket3dof as r3
-    from gpmpc_tpu.mpc import RTIConfig, rti_init, rti_step
+    from gpmpc_tpu.gp import ResidualCollector, Simple3DoFGP, StructuredGPConfig
+    from gpmpc_tpu.mpc import (
+        GPMPCConfig,
+        RTIConfig,
+        gp_mpc_init,
+        gp_mpc_solve,
+        rti_init,
+        rti_step,
+    )
+    from gpmpc_tpu.ops.qp import ADMMConfig
 
     N = 20
     BATCH = int(sys.argv[1]) if len(sys.argv) > 1 else 512
     STEPS = int(sys.argv[2]) if len(sys.argv) > 2 else 10  # cycles per dispatch
-    WARM = not (len(sys.argv) > 3 and sys.argv[3] == "chol")
     N_WINDOWS = 4
-
-    from gpmpc_tpu.ops.qp import ADMMConfig
+    SCP_ITERS = 2
 
     p = Rocket3DoFParams()
-    # tuned real-time solver settings: 50 iterations, scaling=3 (the
-    # reference OSQP setting, osqp_rti.py:60), primal-feasible acceptance
-    # instead of polish. "warm" additionally carries the KKT inverse across
-    # cycles (frozen Ruiz scaling + Newton-Schulz refresh instead of the
-    # per-cycle Cholesky) — the default; pass "chol" as the third arg for
-    # the conservative per-cycle-factorization config. Landing
-    # quality is identical across these configs (verified closed loop:
-    # 8/8 landings, 0.47 m/s max, 5 mm error).
-    if WARM:
-        cfg = RTIConfig(
-            N=N,
-            accept_pri_tol=5e-3,
-            warm_kkt=True,
-            admm=ADMMConfig(max_iter=50, polish=False, adaptive_rho=False, scaling=3),
-        )
-    else:
-        cfg = RTIConfig(
-            N=N,
-            accept_pri_tol=5e-3,
-            admm=ADMMConfig(max_iter=50, polish=False, rho_adapt_chunks=1, scaling=3),
-        )
-    F = lambda x, u: r3.step(p, x, u, cfg.dt)
+    p_true = p.replace(rho=1.0, C_D=1.0, A_ref=0.1)  # dispersed plant for the GP
+    dt = 0.1
+    F = lambda x, u: r3.step(p, x, u, dt)
+    F_true = lambda x, u: r3.step(p_true, x, u, dt)
     xT = jnp.zeros(7).at[0].set(2.0)
+
+    # ---- fit the residual GP (timing-irrelevant; content = drag residuals) --
+    key = jax.random.PRNGKey(0)
+
+    def explore(x, k):
+        u = r3.clamp_thrust(
+            p, r3.hover_thrust(p, x)
+            + 0.3 * jax.random.normal(jax.random.fold_in(key, k), (3,))
+        )
+        xn = F_true(x, u)
+        x_out = jnp.where(xn[1] > 0.5, xn,
+                          jnp.array([2.0, 25.0, -1.0, 2.0, -4.0, -0.5, 0.1]))
+        return x_out, (x, u, xn)
+
+    x_start = jnp.array([2.0, 30.0, 1.0, -1.0, -3.0, 0.5, 0.2])
+    _, (Xd, Ud, Xnd) = jax.lax.scan(explore, x_start, jnp.arange(128))
+    res = ResidualCollector(dt=dt).collect_batch(F, Xd, Ud, Xnd)
+    gp = Simple3DoFGP.create(StructuredGPConfig(max_data_points=128, n_inducing=48))
+    gp = gp.add_data_batch(Xd, Ud, res).fit(jax.random.PRNGKey(1))
+    mean_fn = lambda x, u: Simple3DoFGP.lift_residual(gp.predict_gated(x, u)[0], 7)
+    var_fn = lambda x, u: gp.predict(x, u)[1]
+
+    # ---- configs: condensed QP, real-time iteration budgets -----------------
+    # (landing quality verified closed loop on CPU: 8/8 landings, ≤0.48 m/s,
+    #  ≤4 cm position error for both the GP-MPC and RTI configs below)
+    rti_cfg = RTIConfig(
+        N=N, accept_pri_tol=5e-3, condensed=True,
+        admm=ADMMConfig(max_iter=50, polish=False, adaptive_rho=False,
+                        scaling=3, use_pallas="off"),
+    )
+    gp_cfg = GPMPCConfig(
+        base=RTIConfig(
+            N=N, accept_pri_tol=5e-3, condensed=True,
+            admm=ADMMConfig(max_iter=100, polish=False, adaptive_rho=False,
+                            scaling=3, use_pallas="off"),
+        ),
+        scp_iterations=SCP_ITERS, tighten=True,
+    )
 
     x0s = jnp.tile(jnp.array([2.0, 30.0, 0.0, 0.0, -3.0, 0.0, 0.0]), (BATCH, 1))
     x0s = x0s.at[:, 1].add(jnp.linspace(0.0, 5.0, BATCH))
-    states = jax.vmap(
-        lambda x: rti_init(cfg, x, xT, step_fn=F if WARM else None)
-    )(x0s)
+
+    def timed_window(window, states, xs):
+        s, x, alt = window(states, xs)
+        _ = float(jax.device_get(alt))  # compile + warm
+        t0 = time.time()
+        for _i in range(N_WINDOWS):
+            s, x, alt = window(s, x)
+            _ = float(jax.device_get(alt))  # force each window to finish
+        return (time.time() - t0) / (STEPS * N_WINDOWS) * 1e3  # ms/cycle
+
+    # ---- GP-MPC (primary) ----------------------------------------------------
+    gp_states = jax.vmap(lambda x: gp_mpc_init(gp_cfg, x, xT))(x0s)
 
     @jax.jit
-    def window(states, xs):
+    def gp_window(states, xs):
         def body(carry, _):
             states, xs = carry
-            sols, states = jax.vmap(lambda s, x: rti_step(F, cfg, s, x))(states, xs)
-            xs = jax.vmap(lambda x, u: r3.step(p, x, u, cfg.dt))(xs, sols.u0)
+            sols, states = jax.vmap(
+                lambda s, x: gp_mpc_solve(F, mean_fn, var_fn, gp_cfg, s, x)
+            )(states, xs)
+            xs = jax.vmap(F_true)(xs, sols.u0)
             return (states, xs), None
 
         (states, xs), _ = jax.lax.scan(body, (states, xs), None, length=STEPS)
-        # scalar summary anchors the timing fetch
         return states, xs, jnp.mean(xs[:, 1])
 
-    # compile + warmup (fetch forces completion)
-    s, x, alt = window(states, x0s)
-    _ = float(jax.device_get(alt))
-
-    t0 = time.time()
-    for _ in range(N_WINDOWS):
-        s, x, alt = window(s, x)
-        _ = float(jax.device_get(alt))  # force each window to finish
-    elapsed = time.time() - t0
-
-    total_solves = BATCH * STEPS * N_WINDOWS
-    solves_per_sec = total_solves / elapsed
-    cycle_ms = elapsed / (STEPS * N_WINDOWS) * 1e3
-
+    gp_cycle_ms = timed_window(gp_window, gp_states, x0s)
     n_chips = len(jax.devices())
-    solves_per_sec_chip = solves_per_sec / n_chips
+    gp_sps_chip = BATCH * 1000.0 / gp_cycle_ms / n_chips
+
+    # ---- RTI (secondary) -----------------------------------------------------
+    rti_states = jax.vmap(lambda x: rti_init(rti_cfg, x, xT))(x0s)
+
+    @jax.jit
+    def rti_window(states, xs):
+        def body(carry, _):
+            states, xs = carry
+            sols, states = jax.vmap(
+                lambda s, x: rti_step(F, rti_cfg, s, x)
+            )(states, xs)
+            xs = jax.vmap(F)(xs, sols.u0)
+            return (states, xs), None
+
+        (states, xs), _ = jax.lax.scan(body, (states, xs), None, length=STEPS)
+        return states, xs, jnp.mean(xs[:, 1])
+
+    rti_cycle_ms = timed_window(rti_window, rti_states, x0s)
+    rti_sps_chip = BATCH * 1000.0 / rti_cycle_ms / n_chips
 
     result = {
-        "metric": f"RTI-MPC solves/sec/chip (N={N}, batch={BATCH}, full cycle incl. linearization+plant)",
-        "value": round(solves_per_sec_chip, 1),
+        "metric": (
+            f"GP-MPC solves/sec/chip (N={N}, batch={BATCH}, {SCP_ITERS} SCP "
+            f"iters, fitted sparse-GP posterior mean+var per knot per iter, "
+            f"chance tightening, condensed QP, incl. plant step)"
+        ),
+        "value": round(gp_sps_chip, 1),
         "unit": "solves/s/chip",
-        "vs_baseline": round(solves_per_sec_chip / 50.0, 2),
+        "vs_baseline": round(gp_sps_chip / 50.0, 2),
         "detail": {
             "devices": [str(d) for d in jax.devices()],
             "batch": BATCH,
-            "cycle_wall_ms": round(cycle_ms, 2),
+            "gp_mpc_cycle_wall_ms": round(gp_cycle_ms, 2),
+            "gp_mpc_meets_50hz_in_lockstep": gp_cycle_ms < 20.0,
+            "rti_solves_per_sec_chip": round(rti_sps_chip, 1),
+            "rti_cycle_wall_ms": round(rti_cycle_ms, 2),
+            "rti_meets_50hz_in_lockstep": rti_cycle_ms < 20.0,
             "budget_ms": 20.0,
-            "meets_50hz_in_lockstep": cycle_ms < 20.0,
         },
     }
     print(json.dumps(result))

@@ -96,6 +96,23 @@ class RingBuffer:
             count=jnp.minimum(self.count + k, self.capacity),
         )
 
+    def add_batch_masked(self, Xb: Array, Yb: Array, valid: Array) -> "RingBuffer":
+        """Admit only rows with ``valid=True`` (static shapes: invalid rows
+        scatter to an out-of-bounds slot and are dropped). The write order of
+        valid rows is preserved, so the FIFO semantics match a sequential
+        ``add`` of the valid subsequence — this is how batched episode
+        transcripts (with frozen post-touchdown rows) enter the store."""
+        cap = self.capacity
+        pos = (self.head + jnp.cumsum(valid.astype(jnp.int32)) - 1) % cap
+        idx = jnp.where(valid, pos, cap)  # cap = out of bounds ⇒ dropped
+        k = jnp.sum(valid.astype(jnp.int32))
+        return self.replace(
+            X=self.X.at[idx].set(Xb, mode="drop"),
+            Y=self.Y.at[idx].set(Yb, mode="drop"),
+            head=(self.head + k) % cap,
+            count=jnp.minimum(self.count + k, cap),
+        )
+
 
 @struct.dataclass
 class StructuredRocketGP:

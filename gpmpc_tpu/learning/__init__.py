@@ -26,6 +26,7 @@ from .novelty_selector import (
     select_top_k,
     variance_novelty,
 )
+from .batched_learner import BatchedLearningConfig, run_batched_learning
 from .online_learner import (
     IterativeLearningRunner,
     LearningStatistics,
@@ -42,6 +43,8 @@ from .pretrain import (
 __all__ = [
     "ActiveDataSelector",
     "AdaptiveHyperparameterScheduler",
+    "BatchedLearningConfig",
+    "run_batched_learning",
     "DataManager",
     "HyperparameterConfig",
     "HyperparameterTuner",

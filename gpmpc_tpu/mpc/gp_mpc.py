@@ -24,6 +24,7 @@ from flax import struct
 from ..dynamics.linearize import trajectory_jacobians
 from ..ops.qp import SOLVED, build_mpc_qp, extend_qp, join_z, solve, split_z
 from ..ops.qp.admm import _factor, _rho_vec
+from ..ops.qp.condensed import build_condensed_qp, recover_states
 from ..ops.qp.ruiz import Scaling, ruiz_equilibrate
 from .rti import RTIConfig, _n_extra_rows, _stage_rows
 from .uncertainty_prop import box_tightening, propagate_linear
@@ -150,41 +151,60 @@ def gp_mpc_solve(
         Ulo = jnp.maximum(cfg.u_min[None, :], U_lin - config.trust_region_u)
         Uhi = jnp.minimum(cfg.u_max[None, :], U_lin + config.trust_region_u)
 
-        data = build_mpc_qp(
-            Aks, Bks, cks, x0, cfg.Q, cfg.R, cfg.Qf, state.x_ref,
-            Xlo, Xhi, Ulo, Uhi,
-        )
-        if cfg.Gx is not None or cfg.Gu is not None:
-            # facet rows (glideslope / gimbal cone) ride along in every SCP
-            # subproblem, same as the RTI path
-            data = extend_qp(data, *_stage_rows(cfg))
-        z0 = join_z(X_lin, U_lin)
-        if config.warm_kkt:
-            sol = solve(
-                data, z0, y_prev, cfg.admm, rho0=rho,
-                fixed_scaling=Scaling(
-                    D=state.scal_D, E=state.scal_E, c=state.scal_c
-                ),
-                kkt_inv0=kkt_inv,
+        if cfg.condensed:
+            data, Gs, ds = build_condensed_qp(
+                Aks, Bks, cks, x0, cfg.Q, cfg.R, cfg.Qf, state.x_ref,
+                Xlo, Xhi, Ulo, Uhi,
+                cfg.Gx, cfg.gx_l, cfg.gx_u, cfg.Gu, cfg.gu_l, cfg.gu_u,
             )
-            # keep a frozen lane's inverse untouched so later control steps
-            # resume the refresh chain from the last live factorization
-            kkt_inv = jnp.where(done, kkt_inv, sol.kkt_inv)
+            sol = solve(data, U_lin.reshape(-1), y_prev, cfg.admm, rho0=rho)
+            U_new = sol.x.reshape(N, n_u)
+            X_new = recover_states(Gs, ds, sol.x, x0)
         else:
-            sol = solve(data, z0, y_prev, cfg.admm, rho0=rho)
+            data = build_mpc_qp(
+                Aks, Bks, cks, x0, cfg.Q, cfg.R, cfg.Qf, state.x_ref,
+                Xlo, Xhi, Ulo, Uhi,
+            )
+            if cfg.Gx is not None or cfg.Gu is not None:
+                # facet rows (glideslope / gimbal cone) ride along in every
+                # SCP subproblem, same as the RTI path
+                data = extend_qp(data, *_stage_rows(cfg))
+            z0 = join_z(X_lin, U_lin)
+            if config.warm_kkt:
+                sol = solve(
+                    data, z0, y_prev, cfg.admm, rho0=rho,
+                    fixed_scaling=Scaling(
+                        D=state.scal_D, E=state.scal_E, c=state.scal_c
+                    ),
+                    kkt_inv0=kkt_inv,
+                )
+                # keep a frozen lane's inverse untouched so later control
+                # steps resume the refresh chain from the last live
+                # factorization
+                kkt_inv = jnp.where(done, kkt_inv, sol.kkt_inv)
+            else:
+                sol = solve(data, z0, y_prev, cfg.admm, rho0=rho)
+            X_new, U_new = split_z(sol.x, N, n_x, n_u)
         # accept primal-feasible plans below the tolerance even when the dual
         # termination test has not fired, like the RTI path (warm-started SCP
         # subproblems are primal-feasible long before the duals settle)
         ok = (sol.status == SOLVED) | (sol.pri_res <= cfg.accept_pri_tol)
-        X_new, U_new = split_z(sol.x, N, n_x, n_u)
         X_new = jnp.where(ok, X_new, X_lin)
         U_new = jnp.where(ok, U_new, U_lin)
 
         dX = jnp.max(jnp.abs(X_new - X_lin)) + jnp.max(jnp.abs(U_new - U_lin))
-        newly_done = dX < config.convergence_tol
+        # a REJECTED solve leaves the iterate unchanged (dX = 0) — that is a
+        # failure, not convergence; keep iterating so the carried duals/ρ can
+        # recover on the next subproblem
+        newly_done = ok & (dX < config.convergence_tol)
         X_out = jnp.where(done, X_lin, X_new)
         U_out = jnp.where(done, U_lin, U_new)
-        y_out = jnp.where(done | ~ok, y_prev, sol.y)
+        # carry the duals even when the plan is rejected: they are the ADMM
+        # workspace's progress toward this (slowly-varying) QP family, and
+        # discarding them on rejection locks cold-started lanes into
+        # rejecting forever (OSQP keeps its workspace across solves likewise;
+        # the fallback above already protects the *control*)
+        y_out = jnp.where(done, y_prev, sol.y)
         return (X_out, U_out, sol.rho, y_out, kkt_inv, dX, done | newly_done), (
             ok, prop.covariances
         )
@@ -251,6 +271,8 @@ def gp_mpc_init(
         jnp.tile(jnp.zeros(cfg.n_u).at[0].set(x0[0]), (N, 1)) if U_init is None else U_init
     )
     if config.warm_kkt:
+        if cfg.condensed:
+            raise ValueError("warm_kkt and condensed are mutually exclusive")
         if step_fn is None:
             raise ValueError("warm_kkt requires gp_mpc_init(..., step_fn=...)")
         gmean = gp_mean_fn or (lambda x, u: jnp.zeros(cfg.n_x, dtype))
@@ -274,8 +296,11 @@ def gp_mpc_init(
         D = jnp.zeros(0, dtype)
         E = jnp.zeros(0, dtype)
         c = jnp.asarray(1.0, dtype)
-    n_vars = (N + 1) * cfg.n_x + N * cfg.n_u
-    m = (N + 1) * cfg.n_x + n_vars + _n_extra_rows(cfg)
+    if cfg.condensed:
+        m = N * (cfg.n_x + cfg.n_u) + _n_extra_rows(cfg)
+    else:
+        n_vars = (N + 1) * cfg.n_x + N * cfg.n_u
+        m = (N + 1) * cfg.n_x + n_vars + _n_extra_rows(cfg)
     return GPMPCState(
         X_lin=X_lin, U_lin=U_lin,
         x_ref=jnp.tile(x_target, (N + 1, 1)),

@@ -29,6 +29,7 @@ from flax import struct
 from ..dynamics.linearize import trajectory_jacobians
 from ..ops.qp import ADMMConfig, SOLVED, build_mpc_qp, join_z, solve, split_z
 from ..ops.qp.admm import _factor, _rho_vec
+from ..ops.qp.condensed import build_condensed_qp, recover_states
 from ..ops.qp.mpc_qp import build_stage_rows, extend_qp
 from ..ops.qp.ruiz import Scaling, ruiz_equilibrate
 
@@ -60,6 +61,36 @@ def _build_rti_qp(config, Aks, Bks, cks, x_current, x_ref):
     if config.Gx is not None or config.Gu is not None:
         data = extend_qp(data, *_stage_rows(config))
     return data
+
+
+def _solve_qp(config, state, Aks, Bks, cks, x_current, z0_XU, y0):
+    """Solve one RTI subproblem in the configured formulation; returns
+    (sol, X_sol, U_sol). ``z0_XU`` is the (X, U) primal warm start."""
+    N = config.N
+    X0, U0 = z0_XU
+    if config.condensed:
+        data, Gs, ds = build_condensed_qp(
+            Aks, Bks, cks, x_current,
+            config.Q, config.R, config.Qf, state.x_ref,
+            config.x_min, config.x_max, config.u_min, config.u_max,
+            config.Gx, config.gx_l, config.gx_u,
+            config.Gu, config.gu_l, config.gu_u,
+        )
+        sol = solve(data, U0.reshape(-1), y0, config.admm, rho0=state.rho)
+        U_sol = sol.x.reshape(N, config.n_u)
+        X_sol = recover_states(Gs, ds, sol.x, x_current)
+        return sol, X_sol, U_sol
+    data = _build_rti_qp(config, Aks, Bks, cks, x_current, state.x_ref)
+    if config.warm_kkt:
+        sol = solve(
+            data, join_z(X0, U0), y0, config.admm, rho0=state.rho,
+            fixed_scaling=Scaling(D=state.scal_D, E=state.scal_E, c=state.scal_c),
+            kkt_inv0=state.kkt_inv,
+        )
+    else:
+        sol = solve(data, join_z(X0, U0), y0, config.admm, rho0=state.rho)
+    X_sol, U_sol = split_z(sol.x, N, config.n_x, config.n_u)
+    return sol, X_sol, U_sol
 
 
 @struct.dataclass
@@ -116,6 +147,13 @@ class RTIConfig:
     # reality and makes the lateral channels chatter; re-anchoring costs one
     # rollout and keeps the linearization honest.
     reanchor: bool = struct.field(pytree_node=False, default=True)
+    # Condensed QP: eliminate states, variables = controls only (N·n_u vs
+    # (N+1)·n_x + N·n_u) — see ops/qp/condensed.py. ~5× smaller ADMM matvecs
+    # and a 40× cheaper per-cycle factorization, at the cost of the classic
+    # condensed conditioning (ΓᵀQΓ); the solution is the same u*. Mutually
+    # exclusive with warm_kkt (the condensed factorization is cheap enough to
+    # recompute every cycle, which is also what keeps it robust).
+    condensed: bool = struct.field(pytree_node=False, default=False)
     # optional per-stage general linear rows (polyhedral glideslope /
     # gimbal-cone facets): Gx·x_k ∈ [gx_l, gx_u] for k=1..N (stage 0 is
     # pinned by the x_init equality), Gu·u_k ∈ [gu_l, gu_u] for every
@@ -179,11 +217,17 @@ def rti_init(
         U_lin = jnp.tile(u_hover, (N, 1))
     else:
         U_lin = U_init
-    # total rows = eq rows (N+1)·n_x + n_vars bound rows + facet rows
-    n_vars = (N + 1) * config.n_x + N * config.n_u
-    m = (N + 1) * config.n_x + n_vars + _n_extra_rows(config)
+    if config.condensed:
+        # rows = N state-bound blocks + N control-bound blocks + facets
+        m = N * (config.n_x + config.n_u) + _n_extra_rows(config)
+    else:
+        # total rows = eq rows (N+1)·n_x + n_vars bound rows + facet rows
+        n_vars = (N + 1) * config.n_x + N * config.n_u
+        m = (N + 1) * config.n_x + n_vars + _n_extra_rows(config)
     dtype = X_lin.dtype
     if config.warm_kkt:
+        if config.condensed:
+            raise ValueError("warm_kkt and condensed are mutually exclusive")
         if step_fn is None:
             raise ValueError("warm_kkt requires rti_init(..., step_fn=...)")
         # factor the QP that the FIRST rti_step will actually see: with
@@ -253,22 +297,14 @@ def rti_step(
 
     # preparation: linearize along the current trajectory (AD, vmapped)
     Aks, Bks, cks = trajectory_jacobians(step_fn, state.X_lin, state.U_lin)
-    data = _build_rti_qp(config, Aks, Bks, cks, x_current, state.x_ref)
 
     # feedback: warm-started ADMM solve
-    z0 = join_z(state.X_prev, state.U_prev)
     y0 = state.y_prev if config.warm_start_duals else jnp.zeros_like(state.y_prev)
-    if config.warm_kkt:
-        sol = solve(
-            data, z0, y0, config.admm, rho0=state.rho,
-            fixed_scaling=Scaling(D=state.scal_D, E=state.scal_E, c=state.scal_c),
-            kkt_inv0=state.kkt_inv,
-        )
-    else:
-        sol = solve(data, z0, y0, config.admm, rho0=state.rho)
+    sol, X_sol, U_sol = _solve_qp(
+        config, state, Aks, Bks, cks, x_current,
+        (state.X_prev, state.U_prev), y0,
+    )
     ok = (sol.status == SOLVED) | (sol.pri_res <= config.accept_pri_tol)
-
-    X_sol, U_sol = split_z(sol.x, N, config.n_x, config.n_u)
     # fallback: reuse the shifted previous solution on failure (osqp_rti.py:546-552)
     X_opt = jnp.where(ok, X_sol, state.X_prev)
     U_opt = jnp.where(ok, U_sol, state.U_prev)
@@ -322,12 +358,12 @@ def rti_feedback(
     phases are pipelined around the measurement; ``rti_step`` fuses both."""
     N = config.N
     Aks, Bks, cks = prepared
-    data = _build_rti_qp(config, Aks, Bks, cks, x_current, state.x_ref)
-    z0 = join_z(state.X_prev, state.U_prev)
     y0 = state.y_prev if config.warm_start_duals else jnp.zeros_like(state.y_prev)
-    sol = solve(data, z0, y0, config.admm, rho0=state.rho)
-    ok = sol.status == SOLVED
-    X_sol, U_sol = split_z(sol.x, N, config.n_x, config.n_u)
+    sol, X_sol, U_sol = _solve_qp(
+        config, state, Aks, Bks, cks, x_current,
+        (state.X_prev, state.U_prev), y0,
+    )
+    ok = (sol.status == SOLVED) | (sol.pri_res <= config.accept_pri_tol)
     X_opt = jnp.where(ok, X_sol, state.X_prev)
     U_opt = jnp.where(ok, U_sol, state.U_prev)
     X_shift = jnp.concatenate([X_opt[1:], X_opt[-1:]], axis=0)

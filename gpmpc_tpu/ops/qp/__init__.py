@@ -3,6 +3,12 @@ reference's five separate native-solver call sites (OSQP RTI, IPOPT NLPs,
 safety QP, hull membership/projection, SCVX subproblems; SURVEY.md §7)."""
 
 from .admm import ADMMConfig, solve, solve_batch, solve_jit
+from .condensed import (
+    build_condensed_qp,
+    n_condensed_constraints,
+    prediction_matrices,
+    recover_states,
+)
 from .mpc_qp import (
     build_constraints,
     build_cost,
@@ -33,10 +39,14 @@ __all__ = [
     "STATUS_NAMES",
     "QPData",
     "QPSolution",
+    "build_condensed_qp",
     "build_constraints",
     "build_cost",
     "build_mpc_qp",
     "build_stage_rows",
+    "n_condensed_constraints",
+    "prediction_matrices",
+    "recover_states",
     "extend_qp",
     "join_z",
     "n_constraints",

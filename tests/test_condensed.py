@@ -1,0 +1,151 @@
+"""Condensed-QP path: formulation parity with the sparse form + closed loop.
+
+The condensed builder (ops/qp/condensed.py) eliminates the states, so its
+optimal u* must equal the sparse form's (states were pinned by the equality
+rows). Parity is checked at tight solver tolerance; closed-loop quality is
+checked against the demo criteria.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gpmpc_tpu.dynamics import Rocket3DoFParams, rocket3dof as r3, trajectory_jacobians
+from gpmpc_tpu.mpc import RTIConfig, rti_closed_loop
+from gpmpc_tpu.ops.qp import (
+    ADMMConfig,
+    build_condensed_qp,
+    build_mpc_qp,
+    build_stage_rows,
+    extend_qp,
+    prediction_matrices,
+    recover_states,
+    solve,
+    split_z,
+)
+from gpmpc_tpu.reference import cubic_descent_reference, pad_reference
+
+
+@pytest.fixture(scope="module")
+def ltv():
+    """A canonical N=20 3-DoF linearization (hover rollout from offset IC)."""
+    p = Rocket3DoFParams()
+    dt = 0.1
+    F = lambda x, u: r3.step(p, x, u, dt)
+    x0 = jnp.array([2.0, 25.0, 0.5, -0.5, -3.0, 0.0, 0.0])
+    N = 20
+    U_lin = jnp.tile(jnp.zeros(3).at[0].set(2.0), (N, 1))
+
+    def roll(x, u):
+        xn = F(x, u)
+        return xn, xn
+
+    _, Xr = jax.lax.scan(roll, x0, U_lin)
+    X_lin = jnp.concatenate([x0[None], Xr], axis=0)
+    Aks, Bks, cks = trajectory_jacobians(F, X_lin, U_lin)
+    return Aks, Bks, cks, x0, RTIConfig(N=N)
+
+
+class TestPredictionMatrices:
+    def test_rollout_consistency(self, ltv):
+        """Γ·U + d must equal the LTV rollout of U for random controls."""
+        Aks, Bks, cks, x0, cfg = ltv
+        Gs, ds = prediction_matrices(Aks, Bks, cks, x0)
+        U = jax.random.normal(jax.random.PRNGKey(0), (cfg.N, 3))
+
+        def ltv_step(x, inp):
+            A, B, c, u = inp
+            xn = A @ x + B @ u + c
+            return xn, xn
+
+        _, X_roll = jax.lax.scan(ltv_step, x0, (Aks, Bks, cks, U))
+        X_rec = recover_states(Gs, ds, U.reshape(-1), x0)
+        np.testing.assert_allclose(
+            np.asarray(X_rec[1:]), np.asarray(X_roll), rtol=1e-5, atol=1e-4
+        )
+
+
+class TestCondensedParity:
+    """Formulation parity: the condensed optimum equals the sparse optimum.
+
+    Solved in f64 at tight tolerance — this verifies the BUILDER's math
+    (states eliminated correctly), separated from f32 ADMM convergence speed
+    (which the closed-loop test below covers at real-time settings)."""
+
+    def _solve_both(self, ltv, with_facets: bool):
+        Aks, Bks, cks, x0, cfg = ltv
+        N = cfg.N
+        xT = jnp.zeros(7).at[0].set(2.0)
+        x_ref = jnp.tile(xT, (N + 1, 1))
+        facets = {}
+        if with_facets:
+            facets = dict(
+                Gx=jnp.array([[0.0, -0.5, 1.0, 0.0, 0.0, 0.0, 0.0],
+                              [0.0, -0.5, 0.0, 1.0, 0.0, 0.0, 0.0]]),
+                gx_l=jnp.full(2, -1e20),
+                gx_u=jnp.zeros(2),
+                Gu=jnp.array([[1.0, -0.3, 0.0], [1.0, 0.0, -0.3]]),
+                gu_l=jnp.zeros(2),
+                gu_u=jnp.full(2, 1e20),
+            )
+
+        sp = build_mpc_qp(
+            Aks, Bks, cks, x0, cfg.Q, cfg.R, cfg.Qf, x_ref,
+            cfg.x_min, cfg.x_max, cfg.u_min, cfg.u_max,
+        )
+        if with_facets:
+            sp = extend_qp(sp, *build_stage_rows(N, 7, 3, **facets))
+        cd, Gs, ds = build_condensed_qp(
+            Aks, Bks, cks, x0, cfg.Q, cfg.R, cfg.Qf, x_ref,
+            cfg.x_min, cfg.x_max, cfg.u_min, cfg.u_max, **facets,
+        )
+        acc = ADMMConfig(max_iter=20000, eps_abs=1e-7, eps_rel=1e-7, polish=True)
+        to64 = lambda t: jax.tree.map(lambda a: jnp.asarray(a, jnp.float64), t)
+        with jax.enable_x64(True):
+            s_sp = jax.jit(lambda d: solve(d, config=acc))(to64(sp))
+            s_cd = jax.jit(lambda d: solve(d, config=acc))(to64(cd))
+            X_sp, U_sp = split_z(s_sp.x, N, 7, 3)
+            U_cd = s_cd.x.reshape(N, 3)
+            X_cd = recover_states(to64(Gs), to64(ds), s_cd.x, to64(x0))
+        return (X_sp, U_sp), (X_cd, U_cd)
+
+    def test_u_parity_box(self, ltv):
+        (X_sp, U_sp), (X_cd, U_cd) = self._solve_both(ltv, with_facets=False)
+        np.testing.assert_allclose(np.asarray(U_cd), np.asarray(U_sp), atol=5e-3)
+        np.testing.assert_allclose(np.asarray(X_cd), np.asarray(X_sp), atol=2e-2)
+
+    def test_u_parity_facets(self, ltv):
+        (_, U_sp), (_, U_cd) = self._solve_both(ltv, with_facets=True)
+        np.testing.assert_allclose(np.asarray(U_cd), np.asarray(U_sp), atol=5e-3)
+
+
+class TestCondensedClosedLoop:
+    @pytest.mark.slow
+    def test_landing_quality_matches_demo_criteria(self):
+        """Condensed real-time config lands the demo batch within criteria."""
+        p = Rocket3DoFParams()
+        cfg = RTIConfig(
+            N=20, accept_pri_tol=5e-3, condensed=True,
+            admm=ADMMConfig(max_iter=100, polish=False, adaptive_rho=False,
+                            scaling=3),
+        )
+        F = lambda x, u: r3.step(p, x, u, cfg.dt)
+        xT = jnp.zeros(7).at[0].set(2.0)
+        B, steps = 4, 110
+        x0s = jnp.tile(jnp.array([2.0, 30.0, 1.0, -0.5, -3.0, 0.0, 0.0]), (B, 1))
+        x0s = x0s.at[:, 1].add(jnp.linspace(-3, 3, B))
+        x0s = x0s.at[:, 2].add(jnp.linspace(-1, 1, B))
+
+        def run_one(x):
+            Xr = pad_reference(
+                cubic_descent_reference(x, xT, steps - 10, cfg.dt), cfg.N + 20
+            )
+            return rti_closed_loop(F, cfg, x, xT, steps, X_ref_full=Xr)
+
+        out = jax.jit(jax.vmap(run_one))(x0s)
+        v = jax.vmap(jnp.linalg.norm)(out["x_final"][:, 4:7])
+        perr = jax.vmap(jnp.linalg.norm)(out["x_final"][:, 2:4])
+        assert bool(out["landed"].all())
+        assert float(v.max()) < 2.0
+        assert float(perr.max()) < 1.0

@@ -175,3 +175,52 @@ class TestOnlineLearner:
         learner2 = OnlineLearner(F)
         learner2.load(str(tmp_path / "learner"))
         assert int(learner2.data.store.count) == int(learner.data.store.count)
+
+
+class TestBatchedFleetLearning:
+    """VERDICT item 3: ≥32 scenarios learn concurrently with per-lane GP
+    state on the 8-device mesh — one jitted scan, no host loops over steps,
+    episodes, or lanes."""
+
+    @pytest.mark.slow
+    def test_fleet_learning_improves_per_lane_models(self, devices8):
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+        from gpmpc_tpu.gp import StructuredGPConfig
+        from gpmpc_tpu.learning import BatchedLearningConfig, run_batched_learning
+
+        p = Rocket3DoFParams()
+        p_drag = p.replace(rho=1.0, C_D=1.0, A_ref=0.1)
+        wind = jnp.zeros(7).at[5].set(0.4).at[6].set(0.25)
+        plant = lambda x, u: r3.step(p_drag, x, u, DT) + DT * wind
+
+        B = 32
+        key = jax.random.PRNGKey(0)
+        x0s = jnp.tile(jnp.array([2.0, 28.0, 0.5, -0.5, -3.0, 0.0, 0.0]), (B, 1))
+        x0s = x0s.at[:, 1].add(jax.random.normal(jax.random.fold_in(key, 1), (B,)) * 2)
+        x0s = x0s.at[:, 2:4].add(
+            jax.random.normal(jax.random.fold_in(key, 2), (B, 2)) * 0.5
+        )
+
+        mesh = Mesh(np.asarray(devices8), axis_names=("scenarios",))
+        x0s = jax.device_put(x0s, NamedSharding(mesh, P("scenarios")))
+
+        cfg = BatchedLearningConfig(
+            n_rounds=2, max_steps=90,
+            gp=StructuredGPConfig(max_data_points=96, n_inducing=16),
+        )
+        with mesh:
+            out = jax.jit(
+                lambda k, x: run_batched_learning(k, p, plant, x, cfg)
+            )(key, x0s)
+        out = jax.device_get(out)
+
+        # every lane fitted its own GP from its own flight data
+        assert bool(np.all(out["gp_fitted"]))
+        # per-lane one-step model error improves once the GP is in the loop
+        err0 = out["model_err"][0]  # round 0 flies the nominal model
+        err1 = out["model_err"][1]
+        assert float(np.mean(err1)) < 0.5 * float(np.mean(err0)), (
+            err0.mean(), err1.mean())
+        # the fleet still lands while learning
+        assert int(out["landed"][-1].sum()) >= B - 2

@@ -91,3 +91,102 @@ class TestPRNG:
         ks2 = per_host_keys(jax.random.PRNGKey(7), 4)
         np.testing.assert_array_equal(np.asarray(ks1), np.asarray(ks2))
         assert len({tuple(np.asarray(k)) for k in ks1}) == 4
+
+
+class TestShardedRealControllers:
+    """VERDICT item 5: the REAL controllers (RTI / GP-MPC), whose state
+    pytrees (duals, ρ, warm starts) are exactly what could shard wrong, must
+    produce identical campaigns sharded vs unsharded."""
+
+    @pytest.mark.slow
+    def test_rti_sharded_matches_unsharded(self, devices8):
+        from gpmpc_tpu.mpc import RTIConfig, make_rti_controller
+        from gpmpc_tpu.ops.qp import ADMMConfig
+        from gpmpc_tpu.reference import cubic_descent_reference
+
+        p = Rocket3DoFParams()
+        cfg = RTIConfig(
+            N=10, accept_pri_tol=5e-3, condensed=True,
+            admm=ADMMConfig(max_iter=50, polish=False, adaptive_rho=False,
+                            scaling=3),
+        )
+        sim = SimulationConfig(max_steps=60, altitude_mean=12.0, altitude_std=1.0)
+        x0s = sample_initial_conditions(jax.random.PRNGKey(3), sim, 16)
+        xT = jnp.zeros(7).at[0].set(2.0)
+        ref_fn = lambda x0: cubic_descent_reference(x0, xT, 50, cfg.dt)
+        cinit, cstep = make_rti_controller(
+            step_fn=lambda x, u: r3.step(p, x, u, cfg.dt), config=cfg,
+            x_target=xT, reference_fn=ref_fn, ref_horizon=sim.max_steps,
+        )
+        plant = lambda x, u: r3.step(p, x, u, cfg.dt)
+
+        mesh = scenario_mesh(devices8)
+        out = run_sharded_campaign(mesh, cinit, cstep, plant, x0s, sim)
+        ref = jax.jit(lambda xs: run_campaign(cinit, cstep, plant, xs, sim))(x0s)
+
+        # sharded vs unsharded differ only by XLA fusion/reduction order
+        # (f32 noise amplified over the closed loop); a real sharding bug
+        # (wrong lanes, mixed state) shows up at O(1)
+        np.testing.assert_allclose(
+            np.asarray(out["results"]["x_final"]), np.asarray(ref["x_final"]),
+            atol=1e-2,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(out["results"]["outcome"]), np.asarray(ref["outcome"])
+        )
+        assert len(out["results"]["outcome"].sharding.device_set) == 8
+
+    @pytest.mark.slow
+    def test_gp_mpc_sharded_matches_unsharded(self, devices8):
+        from gpmpc_tpu.gp import ResidualCollector, Simple3DoFGP, StructuredGPConfig
+        from gpmpc_tpu.mpc import GPMPCConfig, RTIConfig
+        from gpmpc_tpu.mpc.gp_mpc import make_gp_mpc_controller
+        from gpmpc_tpu.ops.qp import ADMMConfig
+
+        p = Rocket3DoFParams()
+        p_true = p.replace(rho=1.0, C_D=1.0, A_ref=0.1)
+        dt = 0.1
+        F = lambda x, u: r3.step(p, x, u, dt)
+        F_true = lambda x, u: r3.step(p_true, x, u, dt)
+
+        # tiny fitted GP so the posterior runs inside the sharded cycle
+        def explore(x, k):
+            u = r3.clamp_thrust(p, r3.hover_thrust(p, x) + 0.3 * jax.random.normal(
+                jax.random.fold_in(jax.random.PRNGKey(0), k), (3,)))
+            return F_true(x, u), (x, u, F_true(x, u))
+
+        _, (Xd, Ud, Xnd) = jax.lax.scan(
+            explore, jnp.array([2.0, 15.0, 0.5, -0.5, -2.0, 0.1, 0.1]),
+            jnp.arange(48),
+        )
+        res = ResidualCollector(dt=dt).collect_batch(F, Xd, Ud, Xnd)
+        gp = Simple3DoFGP.create(StructuredGPConfig(max_data_points=48, n_inducing=12))
+        gp = gp.add_data_batch(Xd, Ud, res).fit(jax.random.PRNGKey(1))
+        mean_fn = lambda x, u: Simple3DoFGP.lift_residual(gp.predict_gated(x, u)[0], 7)
+        var_fn = lambda x, u: gp.predict(x, u)[1]
+
+        cfg = GPMPCConfig(
+            base=RTIConfig(N=10, accept_pri_tol=5e-3, condensed=True,
+                           admm=ADMMConfig(max_iter=50, polish=False,
+                                           adaptive_rho=False, scaling=3)),
+            scp_iterations=2, tighten=True,
+        )
+        sim = SimulationConfig(max_steps=40, altitude_mean=12.0, altitude_std=1.0)
+        x0s = sample_initial_conditions(jax.random.PRNGKey(5), sim, 16)
+        xT = jnp.zeros(7).at[0].set(2.0)
+        cinit, cstep = make_gp_mpc_controller(F, mean_fn, var_fn, cfg, xT)
+
+        mesh = scenario_mesh(devices8)
+        out = run_sharded_campaign(mesh, cinit, cstep, F_true, x0s, sim)
+        ref = jax.jit(lambda xs: run_campaign(cinit, cstep, F_true, xs, sim))(x0s)
+
+        # sharded vs unsharded differ only by XLA fusion/reduction order
+        # (f32 noise amplified over the closed loop); a real sharding bug
+        # (wrong lanes, mixed state) shows up at O(1)
+        np.testing.assert_allclose(
+            np.asarray(out["results"]["x_final"]), np.asarray(ref["x_final"]),
+            atol=1e-2,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(out["results"]["outcome"]), np.asarray(ref["outcome"])
+        )
