@@ -34,6 +34,28 @@ from ..gp import ResidualCollector, Simple3DoFGP, StructuredGPConfig, Structured
 Array = jax.Array
 
 
+def _tune_multi(gp_state, tune_steps: int):
+    """MLE-retune each output's kernel hyperparameters on the fitted sparse
+    state, then refit the factors (``hyperparameter_tuner.py:162-197``
+    protocol). ARD lengthscale optimization is what makes the residual GP
+    robust off the training trajectory: the moment-matched init over-trusts
+    low-variance feature dimensions and the posterior collapses to the prior
+    a short distance from the data."""
+    from ..gp.sparse_gp import refit_sparse_multi
+    from .hyperparameter_tuner import HyperparameterConfig, tune_mle
+
+    g = gp_state
+    hcfg = HyperparameterConfig(steps=tune_steps)
+
+    def one(kernel, y, ln):
+        k_new, ln_new, _ = tune_mle(hcfg, kernel, g.Z, g.X, y, g.mask, ln,
+                                    method=g.method)
+        return k_new, ln_new
+
+    kernels, log_noise = jax.vmap(one)(g.kernels, g.Y, g.log_noise)
+    return refit_sparse_multi(kernels, g.Z, g.X, g.Y, g.mask, log_noise, g.method)
+
+
 def _on_policy_episodes(
     key: Array, controller_init, controller_step, plant_step, clamp_fn,
     x0s: Array, episode_len: int, excitation: float,
@@ -95,7 +117,7 @@ def collect_residuals_3dof(
 def pretrain_gp_3dof(
     key: Array, p_nom, true_step_fn: Callable[[Array, Array], Array],
     dt: float = 0.1, n_episodes: int = 4, episode_len: int = 64,
-    n_inducing: int = 48, gated: bool = True,
+    n_inducing: int = 48, gated: bool = True, tune_steps: int = 150,
 ) -> Tuple[Simple3DoFGP, Callable, Callable]:
     """Fitted :class:`Simple3DoFGP` + (mean_fn, var_fn) for ``gp_mpc_solve``.
 
@@ -112,6 +134,8 @@ def pretrain_gp_3dof(
         StructuredGPConfig(max_data_points=n, n_inducing=min(n_inducing, n))
     )
     gp = gp.add_data_batch(X, U, res).fit(kf)
+    if tune_steps > 0:
+        gp = gp.replace(gp=_tune_multi(gp.gp, tune_steps))
     predict = gp.predict_gated if gated else gp.predict
     mean_fn = lambda x, u: Simple3DoFGP.lift_residual(predict(x, u)[0], 7)
     var_fn = lambda x, u: gp.predict(x, u)[1]
@@ -126,18 +150,32 @@ def collect_residuals_6dof(
     """6-DoF analogue: nominal 6-DoF RTI descent episodes on the true plant."""
     from ..mpc import make_rti_controller
     from ..mpc.rti6dof import rti_config_6dof
+    from ..reference import cubic_descent_reference
 
     F_nom = lambda x, u: r6.step(p_nom, x, u, dt)
     cfg = rti_config_6dof(p_nom, N=15, dt=dt)
     xT = r6.create_initial_state(p_nom, altitude=0.0)
-    ci, cs = make_rti_controller(F_nom, cfg, xT)
+    # fly the same kind of profile the downstream campaigns fly (cubic
+    # descent reference) — on-policy feature coverage; constant-target
+    # episodes leave the GP at its prior along real descents
+    ref_fn = lambda x0: cubic_descent_reference(x0, xT, 80, dt)
+    ci, cs = make_rti_controller(
+        F_nom, cfg, xT, reference_fn=ref_fn, ref_horizon=episode_len + 1
+    )
     if x0s is None:
-        alts = 18.0 + 3.0 * jnp.arange(n_episodes, dtype=jnp.float32)
+        kk = jax.random.split(key, 2)[0]
+        alts = 17.0 + 6.0 * jax.random.uniform(kk, (n_episodes,))
+        vels = jnp.stack([
+            -3.5 + 1.5 * jax.random.uniform(jax.random.fold_in(kk, 1), (n_episodes,)),
+            0.6 * jax.random.normal(jax.random.fold_in(kk, 2), (n_episodes,)),
+            0.6 * jax.random.normal(jax.random.fold_in(kk, 3), (n_episodes,)),
+        ], axis=1)
+        horiz = 1.0 * jax.random.normal(jax.random.fold_in(kk, 4), (n_episodes, 2))
         x0s = jax.vmap(
-            lambda a: r6.create_initial_state(
-                p_nom, altitude=a, velocity=(-2.0, 0.2, -0.1)
+            lambda a, v, h: r6.create_initial_state(
+                p_nom, altitude=a, velocity=tuple(v), horizontal=tuple(h)
             )
-        )(alts)
+        )(alts, vels, horiz)
     X, U, Xn = _on_policy_episodes(
         key, ci, cs, true_step_fn, lambda u: r6.clamp_thrust(p_nom, u),
         x0s, episode_len, excitation,
@@ -149,11 +187,13 @@ def collect_residuals_6dof(
 def pretrain_gp_6dof(
     key: Array, p_nom, true_step_fn: Callable[[Array, Array], Array],
     dt: float = 0.1, n_episodes: int = 4, episode_len: int = 64,
-    n_inducing: int = 48, gated: bool = True,
+    n_inducing: int = 48, gated: bool = True, tune_steps: int = 150,
 ) -> Tuple[StructuredRocketGP, Callable, Callable]:
     """Fitted :class:`StructuredRocketGP` + (mean_fn, var_fn): the 6-output
     [d_v, d_ω] residual model lifted to the 14-state
-    (``structured_gp.py:307-338``)."""
+    (``structured_gp.py:307-338``). ``tune_steps > 0`` runs MLE
+    hyperparameter optimization (essential for closed-loop use — see
+    :func:`_tune_multi`)."""
     kc, kf = jax.random.split(key)
     X, U, res = collect_residuals_6dof(
         kc, p_nom, true_step_fn, dt, n_episodes, episode_len
@@ -163,6 +203,11 @@ def pretrain_gp_6dof(
         StructuredGPConfig(max_data_points=n, n_inducing=min(n_inducing, n))
     )
     gp = gp.add_data_batch(X, U, res).fit(kf)
+    if tune_steps > 0:
+        gp = gp.replace(
+            trans_gp=_tune_multi(gp.trans_gp, tune_steps),
+            rot_gp=_tune_multi(gp.rot_gp, tune_steps),
+        )
     predict = gp.predict_gated if gated else gp.predict
     mean_fn = lambda x, u: StructuredRocketGP.lift_residual(predict(x, u)[0], 14)
     var_fn = lambda x, u: gp.predict(x, u)[1]

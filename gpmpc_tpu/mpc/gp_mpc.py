@@ -46,6 +46,19 @@ class GPMPCConfig:
     tighten: bool = struct.field(pytree_node=False, default=True)
     confidence: float = 0.95
     sigma0_scale: float = 1e-6
+    # which state components get box back-offs. None = all except mass (0)
+    # and altitude (1): backing off the altitude floor forbids the planned
+    # touchdown itself and forces late braking (the reference tightens
+    # thrust/glideslope/tilt path constraints, never the landing coordinate —
+    # constraints.py:427-509).
+    tighten_mask: Optional[Array] = None
+    # re-anchor the linearization with the GP-AUGMENTED rollout (the
+    # reference's forward simulation, gp_mpc.py:258-281). With a coverage-
+    # limited GP the 20-step open-loop rollout compounds prediction error and
+    # the anchor (= trust-region center) drifts off the reachable manifold;
+    # False anchors on the nominal rollout while the GP still enters every
+    # defect c_k (the part that matters for the plan).
+    augment_rollout: bool = struct.field(pytree_node=False, default=True)
     # carry the KKT inverse across SCP iterations AND control steps: the Ruiz
     # scaling is frozen at init and each SCP subproblem's factorization
     # becomes a Newton–Schulz refresh of the previous inverse (same machinery
@@ -121,8 +134,11 @@ def gp_mpc_solve(
     # re-anchor: forward-simulate the warm-start controls from the measured
     # state so the linearization trajectory is dynamically consistent
     # (gp_mpc.py:258-281); trust regions are then meaningful.
+    roll_mean = gp_mean_fn if config.augment_rollout else (
+        lambda x, u: jnp.zeros(n_x, x0.dtype)
+    )
     X_sim = _augmented_rollout(
-        step_fn, gp_mean_fn, state.X_lin.at[0].set(x0), state.U_lin, dt
+        step_fn, roll_mean, state.X_lin.at[0].set(x0), state.U_lin, dt
     )
 
     def scp_iter(carry, _):
@@ -142,6 +158,16 @@ def gp_mpc_solve(
         prop = propagate_linear(Aks, X_lin, Sigma0, gp_vars, dt)
         if config.tighten:
             backoff = box_tightening(prop.covariances, config.confidence)
+            # never let back-offs cross a narrow box (e.g. quaternion
+            # component bounds) — a crossed box makes the whole QP infeasible
+            # and every solve gets rejected; cap at 40% of the box width
+            width = jnp.broadcast_to(cfg.x_max - cfg.x_min, X_lin.shape)
+            backoff = jnp.minimum(backoff, 0.4 * width)
+            if config.tighten_mask is None:
+                tmask = jnp.ones(n_x, X_lin.dtype).at[0].set(0.0).at[1].set(0.0)
+            else:
+                tmask = config.tighten_mask.astype(X_lin.dtype)
+            backoff = backoff * tmask[None, :]
         else:
             backoff = jnp.zeros_like(X_lin)
 

@@ -1,16 +1,22 @@
 #!/usr/bin/env python
 """Large-scale closed-loop Monte-Carlo campaign on one chip.
 
-Reproduces the README's campaign artifact: N concurrent full closed-loop
-RTI-MPC landings (dispersed initial conditions, per-scenario cubic descent
-references, outcome state machine) in lockstep on the ambient JAX backend.
+Produces the scale artifacts: N concurrent full closed-loop landings
+(dispersed initial conditions, per-scenario descent references, outcome
+state machine) in lockstep on the ambient JAX backend, for any of:
 
-    python scripts/run_campaign_tpu.py                 # 1024 lanes on TPU
-    python scripts/run_campaign_tpu.py --batch 4096    # the north-star point
+    --controller rti      GP-free RTI-MPC (the reference's OSQP path)
+    --controller gp_mpc   GP-MPC: pretrained sparse residual GP inside the
+                          SCP loop, flying a dispersed (drag+wind) plant the
+                          nominal model doesn't know
+    --model 3dof|6dof     point-mass or full quaternion stack
+
+    python scripts/run_campaign_tpu.py --controller gp_mpc --batch 4096
+    python scripts/run_campaign_tpu.py --model 6dof --batch 1024
     python scripts/run_campaign_tpu.py --cpu --batch 64 --steps 40   # smoke
 
-Prints the campaign summary plus one JSON line with the sustained
-solves/s. The TPU compile takes several minutes cold (remote compile
+Prints the campaign summary plus one JSON line (pass --out to also write
+it to a file). The TPU compile takes several minutes cold (remote compile
 through the tunnel); timed windows exclude it.
 """
 
@@ -23,15 +29,106 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
+def build_3dof(args, jax, jnp):
+    from gpmpc_tpu.dynamics import Rocket3DoFParams, rocket3dof as r3
+    from gpmpc_tpu.mpc import GPMPCConfig, RTIConfig, make_rti_controller
+    from gpmpc_tpu.mpc.gp_mpc import make_gp_mpc_controller
+    from gpmpc_tpu.ops.qp import ADMMConfig
+    from gpmpc_tpu.reference import cubic_descent_reference
+
+    p = Rocket3DoFParams()
+    xT = jnp.zeros(7).at[0].set(2.0)
+    base = RTIConfig(
+        N=args.n, accept_pri_tol=5e-3, condensed=not args.sparse,
+        admm=ADMMConfig(
+            max_iter=100 if args.controller == "gp_mpc" else 50,
+            polish=False, adaptive_rho=False, scaling=3,
+        ),
+    )
+    F = lambda x, u: r3.step(p, x, u, base.dt)
+    ref_fn = lambda x0: cubic_descent_reference(x0, xT, 100, base.dt)
+
+    if args.controller == "gp_mpc":
+        from gpmpc_tpu.learning import pretrain_gp_3dof
+
+        # dispersed plant: light drag + steady wind, unknown to the model
+        p_true = p.replace(rho=1.0, C_D=1.0, A_ref=0.1)
+        wind = jnp.zeros(7).at[5].set(0.4).at[6].set(0.25)
+        plant = lambda x, u: r3.step(p_true, x, u, base.dt) + base.dt * wind
+        _, mean_fn, var_fn = pretrain_gp_3dof(
+            jax.random.PRNGKey(42), p, plant
+        )
+        cfg = GPMPCConfig(base=base, scp_iterations=2, tighten=True)
+        cinit, cstep = make_gp_mpc_controller(
+            F, mean_fn, var_fn, cfg, xT,
+            reference_fn=ref_fn, ref_horizon=args.steps,
+        )
+        return cinit, cstep, plant, 7
+    cinit, cstep = make_rti_controller(
+        F, base, xT, reference_fn=ref_fn, ref_horizon=args.steps
+    )
+    return cinit, cstep, F, 7
+
+
+def build_6dof(args, jax, jnp):
+    from gpmpc_tpu.dynamics import Rocket6DoFParams, rocket6dof as r6
+    from gpmpc_tpu.mpc import GPMPCConfig, make_rti_controller, rti_config_6dof
+    from gpmpc_tpu.mpc.gp_mpc import make_gp_mpc_controller
+    from gpmpc_tpu.ops.qp import ADMMConfig
+    from gpmpc_tpu.reference import cubic_descent_reference
+
+    p = Rocket6DoFParams()
+    base = rti_config_6dof(
+        p, N=args.n,
+        admm=ADMMConfig(
+            max_iter=100 if args.controller == "gp_mpc" else 50,
+            polish=False, adaptive_rho=False, scaling=3,
+        ),
+        cone_facets=args.facets, glideslope_facets=args.facets,
+    ).replace(accept_pri_tol=5e-3, condensed=not args.sparse)
+    F = lambda x, u: r6.step(p, x, u, base.dt)
+    xT = r6.create_initial_state(p, altitude=0.0)
+    ref_fn = lambda x0: cubic_descent_reference(x0, xT, 100, base.dt)
+
+    if args.controller == "gp_mpc":
+        from gpmpc_tpu.learning import pretrain_gp_6dof
+
+        # light aero + steady wind within the lateral thrust authority: the
+        # discriminative disturbance (feedback leaves an offset, learned
+        # feedforward removes it; a 10x touchdown-accuracy gap vs nominal).
+        # Heavier aero saturates the thrust box (drag-limited descent) and
+        # no model knowledge helps — see tests/test_gp_mpc.py scenario note.
+        p_true = p.replace(rho=0.8, C_A=0.05 * jnp.eye(3))
+        wind = jnp.zeros(14).at[5].set(0.10).at[6].set(0.06)
+        plant = lambda x, u: r6.step(p_true, x, u, base.dt) + base.dt * wind
+        _, mean_fn, var_fn = pretrain_gp_6dof(
+            jax.random.PRNGKey(42), p, plant, n_episodes=6
+        )
+        cfg = GPMPCConfig(base=base, scp_iterations=2, tighten=True)
+        cinit, cstep = make_gp_mpc_controller(
+            F, mean_fn, var_fn, cfg, xT,
+            reference_fn=ref_fn, ref_horizon=args.steps,
+        )
+        return cinit, cstep, plant, 14
+    cinit, cstep = make_rti_controller(
+        F, base, xT, reference_fn=ref_fn, ref_horizon=args.steps
+    )
+    return cinit, cstep, F, 14
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=1024)
     ap.add_argument("--steps", type=int, default=130)
     ap.add_argument("--n", type=int, default=20, help="MPC horizon")
+    ap.add_argument("--controller", choices=["rti", "gp_mpc"], default="rti")
+    ap.add_argument("--model", choices=["3dof", "6dof"], default="3dof")
+    ap.add_argument("--facets", type=int, default=0,
+                    help="gimbal/glideslope cone facets (6-DoF)")
     ap.add_argument("--cpu", action="store_true", help="force the CPU backend")
-    ap.add_argument("--chol", action="store_true",
-                    help="per-cycle Cholesky factorization instead of the "
-                         "warm-started KKT inverse")
+    ap.add_argument("--sparse", action="store_true",
+                    help="sparse z=[x;u] QP instead of the condensed form")
+    ap.add_argument("--out", type=str, default=None, help="write JSON here")
     args = ap.parse_args()
 
     import jax
@@ -40,7 +137,6 @@ def main() -> int:
         jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
-    from gpmpc_tpu.dynamics import Rocket3DoFParams, rocket3dof as r3
     from gpmpc_tpu.experiments import (
         SimulationConfig,
         campaign_statistics,
@@ -48,27 +144,15 @@ def main() -> int:
         sample_initial_conditions,
         summarize,
     )
-    from gpmpc_tpu.mpc import RTIConfig, make_rti_controller
-    from gpmpc_tpu.ops.qp import ADMMConfig
-    from gpmpc_tpu.reference import cubic_descent_reference
 
-    p = Rocket3DoFParams()
-    cfg = RTIConfig(
-        N=args.n,
-        warm_kkt=not args.chol,
-        accept_pri_tol=5e-3,
-        admm=ADMMConfig(max_iter=50, polish=False, adaptive_rho=False,
-                        scaling=3),
-    )
-    F = lambda x, u: r3.step(p, x, u, cfg.dt)
-    xT = jnp.zeros(7).at[0].set(2.0)
-    sim = SimulationConfig(max_steps=args.steps, altitude_mean=30.0,
+    build = build_6dof if args.model == "6dof" else build_3dof
+    cinit, cstep, plant, n_x = build(args, jax, jnp)
+    alt = 20.0 if args.model == "6dof" else 30.0
+    sim = SimulationConfig(max_steps=args.steps, altitude_mean=alt,
                            altitude_std=2.0)
-    x0s = sample_initial_conditions(jax.random.PRNGKey(0), sim, args.batch)
-    ref_fn = lambda x0: cubic_descent_reference(x0, xT, 100, cfg.dt)
-    cinit, cstep = make_rti_controller(
-        F, cfg, xT, reference_fn=ref_fn, ref_horizon=args.steps)
-    camp = jax.jit(lambda xs: run_campaign(cinit, cstep, F, xs, sim))
+    x0s = sample_initial_conditions(jax.random.PRNGKey(0), sim, args.batch,
+                                    n_x=n_x)
+    camp = jax.jit(lambda xs: run_campaign(cinit, cstep, plant, xs, sim))
 
     def timed():
         # fetch a scalar to anchor the timing (block_until_ready does not
@@ -83,15 +167,26 @@ def main() -> int:
     stats = campaign_statistics(res)
     print(summarize(jax.device_get(stats)))
     cycles = args.batch * args.steps
-    print(json.dumps({
+    out = {
+        "controller": args.controller,
+        "model": args.model,
         "scenarios": args.batch,
         "steps": args.steps,
+        "horizon": args.n,
+        "devices": [str(d) for d in jax.devices()],
         "compile_s": round(compile_s, 1),
         "run_s": round(run_s, 2),
         "control_cycles_total": cycles,
         "solves_per_sec": round(cycles / run_s, 0),
         "success_rate": float(stats["success_rate"]),
-    }))
+        "landing_speed_mean": float(stats["landing_speed_mean"]),
+        "landing_error_mean": float(stats["landing_error_mean"]),
+        "fuel_used_mean": float(stats["fuel_used_mean"]),
+    }
+    print(json.dumps(out))
+    if args.out:
+        Path(args.out).parent.mkdir(parents=True, exist_ok=True)
+        Path(args.out).write_text(json.dumps(out, indent=1))
     return 0
 
 

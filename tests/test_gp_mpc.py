@@ -315,3 +315,62 @@ class TestGPMPC6DoF:
         assert sol.Sigmas.shape == (cfg.base.N + 1, 14, 14)
         # chance tightening propagated rate-block GP noise
         assert float(jnp.trace(sol.Sigmas[-1])) > 0
+
+
+class TestGPMPC6DoFWind:
+    """6-DoF closed loop under steady wind + light aero: the MLE-tuned
+    residual GP must cut touchdown error far below nominal-model feedback
+    (measured ~10x; oracle-feedforward parity verified during development).
+    Scenario note: the wind must stay within the lateral thrust authority
+    (m·|a_wind| < T_max·sin δ_max) or the required compensation rides the
+    tilt constraint and the comparison degenerates."""
+
+    @pytest.mark.slow
+    def test_tuned_gp_beats_nominal_on_touchdown_error(self):
+        from gpmpc_tpu.dynamics import Rocket6DoFParams, rocket6dof as r6
+        from gpmpc_tpu.experiments import (
+            SimulationConfig,
+            run_campaign,
+            sample_initial_conditions,
+        )
+        from gpmpc_tpu.learning import pretrain_gp_6dof
+        from gpmpc_tpu.mpc import GPMPCConfig, rti_config_6dof
+        from gpmpc_tpu.mpc.gp_mpc import make_gp_mpc_controller
+        from gpmpc_tpu.ops.qp import ADMMConfig
+        from gpmpc_tpu.reference import cubic_descent_reference
+
+        p = Rocket6DoFParams()
+        dt = 0.1
+        F = lambda x, u: r6.step(p, x, u, dt)
+        p_true = p.replace(rho=0.8, C_A=0.05 * jnp.eye(3))
+        wind = jnp.zeros(14).at[5].set(0.10).at[6].set(0.06)
+        plant = lambda x, u: r6.step(p_true, x, u, dt) + dt * wind
+        _, mean_fn, var_fn = pretrain_gp_6dof(
+            jax.random.PRNGKey(42), p, plant, n_episodes=6
+        )
+        zm = lambda x, u: jnp.zeros(14)
+        zv = lambda x, u: jnp.zeros(6)
+
+        xT = r6.create_initial_state(p, altitude=0.0)
+        ref_fn = lambda x0: cubic_descent_reference(x0, xT, 100, dt)
+        sim = SimulationConfig(max_steps=120, altitude_mean=20.0, altitude_std=2.0)
+        x0s = sample_initial_conditions(jax.random.PRNGKey(0), sim, 4, n_x=14)
+        admm = ADMMConfig(max_iter=100, polish=False, adaptive_rho=True,
+                          rho_adapt_chunks=2, scaling=3)
+        base = rti_config_6dof(p, N=20, admm=admm).replace(
+            accept_pri_tol=5e-3, condensed=True
+        )
+
+        perr = {}
+        for with_gp in (False, True):
+            mf, vf = (mean_fn, var_fn) if with_gp else (zm, zv)
+            cfg = GPMPCConfig(base=base, scp_iterations=2, tighten=True)
+            ci, cs = make_gp_mpc_controller(
+                F, mf, vf, cfg, xT, reference_fn=ref_fn, ref_horizon=120
+            )
+            res = jax.jit(lambda xs: run_campaign(ci, cs, plant, xs, sim))(x0s)
+            assert int((res["outcome"] == 0).sum()) == 4, (with_gp, res["outcome"])
+            perr[with_gp] = float(
+                jnp.linalg.norm(res["x_final"][:, 2:4], axis=1).mean()
+            )
+        assert perr[True] < 0.4 * perr[False], perr
