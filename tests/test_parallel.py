@@ -190,3 +190,74 @@ class TestShardedRealControllers:
         np.testing.assert_array_equal(
             np.asarray(out["results"]["outcome"]), np.asarray(ref["outcome"])
         )
+
+
+class TestExplicitCollectives:
+    """VERDICT item 4: explicit shard_map+psum statistics and the multi-host
+    surface (('hosts','chips') mesh, distributed bootstrap, global gather)."""
+
+    def test_hosts_chips_mesh_shape(self, devices8):
+        from gpmpc_tpu.parallel import hosts_chips_mesh, scenario_spec
+
+        mesh = hosts_chips_mesh(devices8)
+        assert mesh.axis_names == ("hosts", "chips")
+        assert mesh.devices.size == 8
+        assert scenario_spec(mesh) == jax.sharding.PartitionSpec(("hosts", "chips"))
+
+    def test_shard_map_statistics_match_reference(self, devices8):
+        from gpmpc_tpu.parallel import (
+            hosts_chips_mesh,
+            shard_over_mesh,
+            sharded_campaign_statistics,
+        )
+
+        p = Rocket3DoFParams()
+        sim = SimulationConfig(max_steps=180, altitude_mean=15.0, altitude_std=1.0)
+        x0s = sample_initial_conditions(jax.random.PRNGKey(0), sim, 32)
+        cinit, cstep = descent_controller(p)
+        plant = lambda x, u: r3.step(p, x, u, sim.dt)
+        results = jax.jit(
+            lambda xs: run_campaign(cinit, cstep, plant, xs, sim)
+        )(x0s)
+        ref = jax.device_get(campaign_statistics(results))
+
+        # reshape the devices into a fake 2-host x 4-chip pod
+        mesh = hosts_chips_mesh(devices8)
+        # single process ⇒ hosts axis folds to 1; force a 2x4 grid to
+        # exercise a true 2-axis psum
+        mesh = jax.sharding.Mesh(
+            np.asarray(devices8).reshape(2, 4), axis_names=("hosts", "chips")
+        )
+        sharded = shard_over_mesh(mesh, results)
+        with mesh:
+            stats = jax.device_get(sharded_campaign_statistics(mesh, sharded))
+
+        assert float(stats["success_rate"]) == pytest.approx(
+            float(ref["success_rate"]), abs=1e-6
+        )
+        for k in ("fuel_used_mean", "fuel_used_std", "landing_speed_mean",
+                  "landing_error_mean", "steps_mean"):
+            np.testing.assert_allclose(
+                float(stats[k]), float(ref[k]), rtol=1e-4, atol=1e-6
+            )
+        for name, cnt in ref["outcome_counts"].items():
+            assert int(stats["outcome_counts"][name]) == int(cnt)
+
+    def test_single_process_distributed_surface(self):
+        from gpmpc_tpu.parallel import (
+            broadcast_from_host0,
+            gather_safe_sets_global,
+            initialize_distributed,
+        )
+
+        # no coordinator configured ⇒ clean single-process no-op
+        assert initialize_distributed() is False
+        tree = {"a": jnp.arange(3.0)}
+        out = broadcast_from_host0(tree)
+        np.testing.assert_array_equal(np.asarray(out["a"]), np.arange(3.0))
+
+        ss = SafeSet.create(32, 7)
+        X = jnp.tile(jnp.arange(7.0), (6, 1))
+        ss = ss.add_trajectory(X, jnp.zeros((6, 3)), jnp.linspace(1.0, 0.1, 6))
+        merged = gather_safe_sets_global(ss, capacity=32)
+        assert int(merged.count) == 6
