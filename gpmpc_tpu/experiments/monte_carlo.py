@@ -125,11 +125,16 @@ def run_episode(
     x0: Array,
     sim: SimulationConfig,
     criteria: LandingCriteria,
+    cstate_info: Optional[Callable[[object], Dict]] = None,
 ) -> Dict:
     """One full episode under lockstep scan with an outcome state machine
     (the single-scenario core of ``MonteCarloSimulator.run_single``,
     ``monte_carlo.py:401-583``). vmap over ``x0`` (and any batched controller
     state) for a campaign.
+
+    ``cstate_info`` optionally maps the final controller state to extra
+    per-lane result entries (e.g. safety-filter intervention counts via
+    ``safety.filtered_controller_info``).
 
     ``plant_step`` is either a stateless ``f(x, u) -> x_next`` or a stateful
     pair ``(plant_init(x0) -> pstate, pstep(pstate, x, u) -> (x_next,
@@ -181,11 +186,11 @@ def run_episode(
     fuel0 = x0[0]
     init = (x0, cstate0, pstate0, jnp.asarray(RUNNING, jnp.int32),
             jnp.asarray(0, jnp.int32), fuel0)
-    (x_f, _, _, outcome, steps, _), (X, U) = jax.lax.scan(
+    (x_f, cstate_f, _, outcome, steps, _), (X, U) = jax.lax.scan(
         body, init, jnp.arange(sim.max_steps)
     )
     outcome = jnp.where(outcome == RUNNING, TIMEOUT, outcome)
-    return {
+    out = {
         "outcome": outcome,
         "x_final": x_f,
         "steps": steps,
@@ -195,6 +200,9 @@ def run_episode(
         "X": jnp.concatenate([x0[None], X], axis=0),
         "U": U,
     }
+    if cstate_info is not None:
+        out.update(cstate_info(cstate_f))
+    return out
 
 
 def run_campaign(
@@ -205,6 +213,7 @@ def run_campaign(
     sim: SimulationConfig,
     criteria: Optional[LandingCriteria] = None,
     store_trajectories: bool = False,
+    cstate_info: Optional[Callable[[object], Dict]] = None,
 ) -> Dict:
     """vmapped campaign over scenarios (replaces the sequential
     ``MonteCarloSimulator.run``, ``monte_carlo.py:585-631``)."""
@@ -212,7 +221,8 @@ def run_campaign(
 
     def one(x0):
         out = run_episode(
-            controller_init, controller_step, plant_step, x0, sim, criteria
+            controller_init, controller_step, plant_step, x0, sim, criteria,
+            cstate_info=cstate_info,
         )
         if not store_trajectories:
             out = {k: v for k, v in out.items() if k not in ("X", "U")}

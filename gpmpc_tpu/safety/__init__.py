@@ -23,6 +23,8 @@ from .safety_filter import (
     check_safety,
     filter_control,
     filter_gradient,
+    filtered_controller_info,
+    make_filtered_controller,
     simulate_filtered,
 )
 from .tube_mpc import (
@@ -53,6 +55,8 @@ __all__ = [
     "create_backup_controller",
     "filter_control",
     "filter_gradient",
+    "filtered_controller_info",
     "hover_backup_3dof",
+    "make_filtered_controller",
     "simulate_filtered",
 ]

@@ -213,6 +213,43 @@ def simulate_filtered(
     }
 
 
+def make_filtered_controller(
+    controller_init,
+    controller_step,
+    step_fn: Callable,
+    backup: LQRBackupController,
+    invariant: EllipsoidalInvariantSet,
+    config: SafetyFilterConfig,
+    admm: Optional[ADMMConfig] = None,
+):
+    """Compose any ``(controller_init, controller_step)`` pair with the
+    predictive safety filter so it can run *inside* a vmapped Monte-Carlo
+    campaign (the reference applies the filter per-step inside MC episodes,
+    ``monte_carlo.py:455-543``).
+
+    The wrapped controller state is ``(inner_state, n_interventions)``;
+    pass :func:`filtered_controller_info` as ``run_campaign``'s
+    ``cstate_info`` to surface per-lane intervention counts in the results.
+    """
+
+    def finit(x0):
+        return (controller_init(x0), jnp.asarray(0, jnp.int32))
+
+    def fstep(state, x, k):
+        inner, n_int = state
+        u_nom, inner2 = controller_step(inner, x, k)
+        res = filter_control(step_fn, backup, invariant, config, x, u_nom, admm)
+        return res.u, (inner2, n_int + res.intervened.astype(jnp.int32))
+
+    return finit, fstep
+
+
+def filtered_controller_info(state) -> dict:
+    """``cstate_info`` extractor for campaigns over a filtered controller."""
+    _, n_int = state
+    return {"n_interventions": n_int}
+
+
 @struct.dataclass
 class SimpleSafetyFilter:
     """Magnitude clamp only (``safety_filter.py:569-601``)."""

@@ -63,11 +63,11 @@ def build_3dof(args, jax, jnp):
             F, mean_fn, var_fn, cfg, xT,
             reference_fn=ref_fn, ref_horizon=args.steps,
         )
-        return cinit, cstep, plant, 7
+        return cinit, cstep, plant, 7, {"F": F, "dt": base.dt, "T_max": p.T_max}
     cinit, cstep = make_rti_controller(
         F, base, xT, reference_fn=ref_fn, ref_horizon=args.steps
     )
-    return cinit, cstep, F, 7
+    return cinit, cstep, F, 7, {"F": F, "dt": base.dt, "T_max": p.T_max}
 
 
 def build_6dof(args, jax, jnp):
@@ -109,11 +109,11 @@ def build_6dof(args, jax, jnp):
             F, mean_fn, var_fn, cfg, xT,
             reference_fn=ref_fn, ref_horizon=args.steps,
         )
-        return cinit, cstep, plant, 14
+        return cinit, cstep, plant, 14, {"F": F, "dt": base.dt, "T_max": p.T_max}
     cinit, cstep = make_rti_controller(
         F, base, xT, reference_fn=ref_fn, ref_horizon=args.steps
     )
-    return cinit, cstep, F, 14
+    return cinit, cstep, F, 14, {"F": F, "dt": base.dt, "T_max": p.T_max}
 
 
 def main() -> int:
@@ -125,6 +125,9 @@ def main() -> int:
     ap.add_argument("--model", choices=["3dof", "6dof"], default="3dof")
     ap.add_argument("--facets", type=int, default=0,
                     help="gimbal/glideslope cone facets (6-DoF)")
+    ap.add_argument("--safety-filter", action="store_true",
+                    help="compose the predictive safety filter per cycle and "
+                         "run the with/without ablation on shared ICs")
     ap.add_argument("--cpu", action="store_true", help="force the CPU backend")
     ap.add_argument("--sparse", action="store_true",
                     help="sparse z=[x;u] QP instead of the condensed form")
@@ -146,13 +149,52 @@ def main() -> int:
     )
 
     build = build_6dof if args.model == "6dof" else build_3dof
-    cinit, cstep, plant, n_x = build(args, jax, jnp)
+    cinit, cstep, plant, n_x, aux = build(args, jax, jnp)
     alt = 20.0 if args.model == "6dof" else 30.0
     sim = SimulationConfig(max_steps=args.steps, altitude_mean=alt,
                            altitude_std=2.0)
     x0s = sample_initial_conditions(jax.random.PRNGKey(0), sim, args.batch,
                                     n_x=n_x)
-    camp = jax.jit(lambda xs: run_campaign(cinit, cstep, plant, xs, sim))
+
+    cstate_info = None
+    if args.safety_filter:
+        # descent-envelope predictive filter: velocity-ellipsoid invariant
+        # set (altitude-blind, so nominal descent is admissible at any
+        # height) under an emergency-braking backup — the campaign-scale
+        # composition of monte_carlo.py:455-543
+        from gpmpc_tpu.safety import (
+            EllipsoidalInvariantSet,
+            EmergencyBrakingController,
+            SafetyFilterConfig,
+            filtered_controller_info,
+            make_filtered_controller,
+        )
+
+        P = jnp.zeros((n_x, n_x))
+        for i, w in ((2, 0.3), (3, 0.3), (4, 1.0), (5, 1.0), (6, 1.0)):
+            P = P.at[i, i].set(w)
+        x_eq = jnp.zeros(n_x).at[4].set(-1.0)
+        if n_x == 14:
+            x_eq = x_eq.at[7].set(1.0)
+        inv = EllipsoidalInvariantSet(P=P, x_eq=x_eq, alpha=6.0)
+        backup = EmergencyBrakingController(
+            T_max=aux["T_max"], g_I=jnp.array([-1.0, 0.0, 0.0])
+        )
+        fcfg = SafetyFilterConfig(
+            N=5, dt=aux["dt"],
+            u_min=jnp.array([0.0, -aux["T_max"], -aux["T_max"]]),
+            u_max=jnp.full(3, aux["T_max"]),
+        )
+        cinit_unf, cstep_unf = cinit, cstep
+        cinit, cstep = make_filtered_controller(
+            cinit, cstep, aux["F"], backup, inv, fcfg
+        )
+        cstate_info = filtered_controller_info
+
+    camp = jax.jit(
+        lambda xs: run_campaign(cinit, cstep, plant, xs, sim,
+                                cstate_info=cstate_info)
+    )
 
     def timed():
         # fetch a scalar to anchor the timing (block_until_ready does not
@@ -183,6 +225,28 @@ def main() -> int:
         "landing_error_mean": float(stats["landing_error_mean"]),
         "fuel_used_mean": float(stats["fuel_used_mean"]),
     }
+    if args.safety_filter:
+        # ablation row: the same ICs without the filter (VERDICT item 6 /
+        # reference monte_carlo.py:455-543 composition)
+        res_unf = jax.jit(
+            lambda xs: run_campaign(cinit_unf, cstep_unf, plant, xs, sim)
+        )(x0s)
+        stats_unf = jax.device_get(campaign_statistics(res_unf))
+        n_int = jax.device_get(res["n_interventions"])
+        out["safety_filter"] = {
+            "intervention_rate": float((n_int > 0).mean()),
+            "interventions_per_episode_mean": float(n_int.mean()),
+            "success_rate_unfiltered": float(stats_unf["success_rate"]),
+            "success_rate_delta": float(stats["success_rate"])
+            - float(stats_unf["success_rate"]),
+            "crash_count_filtered": int(
+                jax.device_get(stats["outcome_counts"]["crash"])
+            ),
+            "crash_count_unfiltered": int(stats_unf["outcome_counts"]["crash"]),
+            "landing_speed_mean_unfiltered": float(
+                stats_unf["landing_speed_mean"]
+            ),
+        }
     print(json.dumps(out))
     if args.out:
         Path(args.out).parent.mkdir(parents=True, exist_ok=True)

@@ -184,3 +184,83 @@ class TestTube:
         )
         assert widths.shape == (6, 7)
         assert bool(jnp.all(widths[1:] > 0))
+
+
+class TestFilteredCampaign:
+    """VERDICT item 6: the predictive filter composed INSIDE a vmapped
+    Monte-Carlo campaign (reference ``monte_carlo.py:455-543``), with nonzero
+    interventions and a measurable crash-rate reduction."""
+
+    def test_filter_reduces_crashes_in_campaign(self):
+        from gpmpc_tpu.experiments.monte_carlo import (
+            CRASH,
+            SimulationConfig,
+            run_campaign,
+            sample_initial_conditions,
+        )
+        from gpmpc_tpu.safety import (
+            filtered_controller_info,
+            make_filtered_controller,
+        )
+        from gpmpc_tpu.safety.safety_filter import SafetyFilterConfig
+
+        p = Rocket3DoFParams()
+        step = lambda x, u: r3.step(p, x, u, DT)
+
+        # dangerous controller: thrust below hover -> accelerating descent,
+        # crashes at ~4-5 m/s without protection
+        bad_init = lambda x0: jnp.zeros(0)
+        bad_step = lambda cs, x, k: (jnp.array([1.0, 0.0, 0.0]), cs)
+
+        # velocity-envelope invariant set (altitude-blind): terminal descent
+        # speed must be recoverable to ~-0.8 m/s by emergency braking
+        from gpmpc_tpu.safety import EmergencyBrakingController
+
+        P = jnp.zeros((7, 7))
+        for i in (4, 5, 6):
+            P = P.at[i, i].set(1.0)
+        # tight envelope: terminal speed after the braking maneuver must be
+        # near the -0.8 m/s soft-descent equilibrium; with the 0.2 s braking
+        # recovery (N=3) this caps the admissible in-flight speed at
+        # ~1.5 m/s, under the 2 m/s landing criterion
+        x_eq = jnp.zeros(7).at[4].set(-0.8)
+        inv = EllipsoidalInvariantSet(P=P, x_eq=x_eq, alpha=0.05)
+        backup = EmergencyBrakingController(
+            T_max=p.T_max, g_I=jnp.array([-1.0, 0.0, 0.0])
+        )
+        fcfg = SafetyFilterConfig(
+            N=3, dt=DT,
+            u_min=jnp.array([0.0, -p.T_max, -p.T_max]),
+            u_max=jnp.full(3, p.T_max),
+        )
+        finit, fstep = make_filtered_controller(
+            bad_init, bad_step, step, backup, inv, fcfg
+        )
+
+        sim = SimulationConfig(
+            max_steps=150, altitude_mean=10.0, altitude_std=1.0,
+            horizontal_std=0.2, horizontal_velocity_std=0.05,
+        )
+        x0s = sample_initial_conditions(jax.random.PRNGKey(3), sim, 16)
+
+        res_unf = jax.jit(
+            lambda xs: run_campaign(bad_init, bad_step, step, xs, sim)
+        )(x0s)
+        res_fil = jax.jit(
+            lambda xs: run_campaign(
+                finit, fstep, step, xs, sim,
+                cstate_info=filtered_controller_info,
+            )
+        )(x0s)
+
+        crashes_unf = int(jnp.sum(res_unf["outcome"] == CRASH))
+        crashes_fil = int(jnp.sum(res_fil["outcome"] == CRASH))
+        n_int = np.asarray(res_fil["n_interventions"])
+
+        assert crashes_unf == 16  # every unprotected lane hits hard
+        assert (n_int > 0).all()  # the filter actually fired
+        assert crashes_fil < crashes_unf  # and it prevented crashes
+        # filtered touchdown is slow: the braking envelope caps speed
+        touched = np.asarray(res_fil["x_final"][:, 1]) <= 0.1
+        speeds = np.asarray(res_fil["landing_speed"])[touched]
+        assert speeds.size > 0 and float(speeds.max()) < 2.5
