@@ -71,18 +71,36 @@ def _tune(config, kernel, Z, X, y, mask, log_noise, method, map_prior):
     def step(carry, _):
         params, opt_state = carry
         loss, g = jax.value_and_grad(loss_fn)(params)
-        updates, opt_state = opt.update(g, opt_state)
-        params = optax.apply_updates(params, updates)
-        params = jax.tree.map(
-            lambda p: jnp.clip(p, config.log_lower, config.log_upper), params
+        updates, opt_state2 = opt.update(g, opt_state)
+        new_params = jax.tree.map(
+            lambda p: jnp.clip(p, config.log_lower, config.log_upper),
+            optax.apply_updates(params, updates),
         )
+        # the LML Cholesky can fail (NaN) at aggressive hyperparameters in
+        # f32; a clipped NaN stays NaN forever, so reject non-finite steps
+        # and continue from the last good iterate (the reference's L-BFGS-B
+        # line search rejects such steps implicitly)
+        ok = jnp.isfinite(loss)
+        for leaf in jax.tree.leaves(g):
+            ok = ok & jnp.all(jnp.isfinite(leaf))
+        keep = lambda n, o: jnp.where(ok, n, o)
+        params = jax.tree.map(keep, new_params, params)
+        opt_state = jax.tree.map(keep, opt_state2, opt_state)
         return (params, opt_state), loss
 
+    params0 = params
     (params, _), losses = jax.lax.scan(
         step, (params, opt.init(params)), None, length=config.steps
     )
+    # never return a tuning that is worse (or non-finite) than the init
+    loss_tuned = loss_fn(params)
+    loss_init = loss_fn(params0)
+    better = jnp.isfinite(loss_tuned) & (loss_tuned <= loss_init)
+    params = jax.tree.map(
+        lambda n, o: jnp.where(better, n, o), params, params0
+    )
     k, ln = params
-    return k, ln, losses[-1]
+    return k, ln, jnp.where(better, loss_tuned, loss_init)
 
 
 def tune_cv_random(
