@@ -6,6 +6,8 @@ BASELINE.md) is encoded here as agreement with an f64 scipy solution of the
 same QP.
 """
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -247,15 +249,29 @@ class TestMPCQP:
 
 class TestCanonicalParity:
     """BASELINE.md north star: u0 on the canonical N=20, dt=0.1 landing QP
-    must match an independent f64 solution of the same QP to 1e-3 (stands in
-    for the OSQP reference, which is not installable in this environment)."""
+    must match the OSQP reference to 1e-3. OSQP's C solver is not
+    installable here, so the committed golden fixtures
+    (tests/fixtures/qp_golden.npz, generated by
+    scripts/make_golden_fixtures.py) carry two independent f64 oracles:
+    ``x_star`` — the exact optimum from a dense Mehrotra interior-point
+    method, KKT-certified to 1e-8 at generation time — and ``x_osqp`` — a
+    faithful NumPy rendering of OSQP's published algorithm (Ruiz
+    equilibration, per-row rho, alpha relaxation, OSQP's termination test)
+    run to its eps=1e-4 ``solved`` state at the reference's settings
+    (osqp_rti.py:54-60). The strictly convex QP has a unique optimum, so
+    agreement with ``x_star`` certifies agreement with any converged OSQP
+    run."""
 
-    def test_u0_matches_f64_oracle_canonical_scenario(self):
+    FIXTURE = os.path.join(os.path.dirname(__file__), "fixtures", "qp_golden.npz")
+    SCENARIOS = ("canonical", "high_fast", "low_slow", "lateral")
+    N, n_x, n_u = 20, 7, 3
+
+    def _rebuild_qp(self, x0):
         from gpmpc_tpu.dynamics import Rocket3DoFParams, rocket3dof as r3, trajectory_jacobians
 
         p = Rocket3DoFParams()
-        N, dt = 20, 0.1
-        x0 = jnp.array([2.0, 30.0, 0.0, 0.0, -3.0, 0.0, 0.0])
+        N, dt = self.N, 0.1
+        x0 = jnp.asarray(x0, jnp.float32)
         xT = jnp.zeros(7).at[0].set(2.0)
         F = lambda x, u: r3.step(p, x, u, dt)
         X_lin = jnp.linspace(x0, xT, N + 1)
@@ -263,41 +279,48 @@ class TestCanonicalParity:
         Aks, Bks, cks = trajectory_jacobians(F, X_lin, U_lin)
         Q = jnp.diag(jnp.array([0.0, 10.0, 10.0, 10.0, 1.0, 1.0, 1.0]))
         R = jnp.eye(3) * 0.01
-        data = build_mpc_qp(
+        return build_mpc_qp(
             Aks, Bks, cks, x0, Q, R, Q * 10, jnp.tile(xT, (N + 1, 1)),
             x_min=jnp.array([-1e20, -100.0, -100.0, -100.0, -50.0, -50.0, -50.0]),
             x_max=jnp.array([1e20, 500.0, 100.0, 100.0, 50.0, 50.0, 50.0]),
             u_min=jnp.array([0.3, -5.0, -5.0]),
             u_max=jnp.array([5.0, 5.0, 5.0]),
         )
+
+    @pytest.mark.parametrize("name", SCENARIOS)
+    def test_u0_matches_golden_fixtures(self, name):
+        fx = np.load(self.FIXTURE)
+        data = self._rebuild_qp(fx[f"{name}/x0"])
+
+        # drift guard: the QP we build today must BE the fixtured QP, else
+        # the comparison is between different problems — regenerate with
+        # scripts/make_golden_fixtures.py after intentional builder changes
+        for part in ("P", "q", "A", "l", "u"):
+            ours = np.asarray(getattr(data, part), np.float64)
+            np.testing.assert_allclose(
+                ours, fx[f"{name}/{part}"], rtol=1e-5, atol=1e-5,
+                err_msg=f"build_mpc_qp drifted from fixture ({name}/{part}); "
+                        f"rerun scripts/make_golden_fixtures.py",
+            )
+
         sol = solve(data, config=ADMMConfig(max_iter=400, polish=True))
         assert int(sol.status) == SOLVED or float(sol.pri_res) < 1e-2
-        _, U = split_z(sol.x, N, 7, 3)
+        _, U = split_z(sol.x, self.N, self.n_x, self.n_u)
+        _, U_star = split_z(jnp.asarray(fx[f"{name}/x_star"], jnp.float32),
+                            self.N, self.n_x, self.n_u)
+        _, U_osqp = split_z(jnp.asarray(fx[f"{name}/x_osqp"], jnp.float32),
+                            self.N, self.n_x, self.n_u)
+        # 1e-3 vs the certified optimum (the solver-independent value);
+        # the unpolished eps-1e-4 OSQP answer itself wobbles ~3e-3 around
+        # the optimum at active bounds, so parity with it is looser
+        np.testing.assert_allclose(U[0], U_star[0], atol=1e-3)
+        np.testing.assert_allclose(U[0], U_osqp[0], atol=5e-3)
 
-        # symmetry certificate: the scenario is exactly symmetric in y/z, so
-        # the optimal lateral controls are zero (cold-started SLSQP gets this
-        # wrong by ~1e-2 — the dense oracle is the *less* accurate solver at
-        # this size, so parity is certified by local refinement instead)
+    def test_symmetry_certificate_canonical(self):
+        # the canonical scenario is exactly symmetric in y/z, so the optimal
+        # lateral controls are zero — an oracle-free optimality certificate
+        fx = np.load(self.FIXTURE)
+        data = self._rebuild_qp(fx["canonical/x0"])
+        sol = solve(data, config=ADMMConfig(max_iter=400, polish=True))
+        _, U = split_z(sol.x, self.N, self.n_x, self.n_u)
         assert float(jnp.abs(U[:, 1:]).max()) < 1e-3
-
-        # refinement certificate: f64 SLSQP warm-started AT our solution must
-        # not move u0 by more than the 1e-3 parity budget
-        import scipy.optimize
-
-        P64, q64, A64, l64, u64 = (np.asarray(a, np.float64) for a in
-                                   (data.P, data.q, data.A, data.l, data.u))
-        eq = np.isfinite(l64) & np.isfinite(u64) & (u64 - l64 < 1e-12)
-        lo = ~eq & (l64 > -1e20)
-        hi = ~eq & (u64 < 1e20)
-        cons = [
-            {"type": "eq", "fun": lambda x: A64[eq] @ x - l64[eq], "jac": lambda x: A64[eq]},
-            {"type": "ineq", "fun": lambda x: A64[lo] @ x - l64[lo], "jac": lambda x: A64[lo]},
-            {"type": "ineq", "fun": lambda x: u64[hi] - A64[hi] @ x, "jac": lambda x: -A64[hi]},
-        ]
-        r = scipy.optimize.minimize(
-            lambda x: 0.5 * x @ P64 @ x + q64 @ x, np.asarray(sol.x, np.float64),
-            jac=lambda x: P64 @ x + q64, constraints=cons, method="SLSQP",
-            options={"maxiter": 200, "ftol": 1e-12},
-        )
-        _, U_ref = split_z(jnp.asarray(r.x, jnp.float32), N, 7, 3)
-        np.testing.assert_allclose(U[0], U_ref[0], atol=1e-3)
