@@ -46,215 +46,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 INF = 1e30
 
 
-# ---------------------------------------------------------------------------
-# Oracle 1: dense Mehrotra predictor-corrector IPM (f64, NumPy only)
-# ---------------------------------------------------------------------------
-
-def ipm_solve(P, q, A, l, u, tol=1e-10, max_iter=100):
-    """Solve min 1/2 x'Px + q'x  s.t.  l <= Ax <= u  to high accuracy.
-
-    Rows with l==u are equalities; finite one-sided rows become Gx<=h.
-    Returns (x, info) with KKT residuals in info.
-    """
-    P, q, A, l, u = (np.asarray(a, np.float64) for a in (P, q, A, l, u))
-    n = q.shape[0]
-    eq = np.isfinite(l) & np.isfinite(u) & (u - l < 1e-12)
-    Aeq, beq = A[eq], l[eq]
-    G_rows, h_rows = [], []
-    hi = ~eq & (u < 1e20)
-    lo = ~eq & (l > -1e20)
-    if hi.any():
-        G_rows.append(A[hi]); h_rows.append(u[hi])
-    if lo.any():
-        G_rows.append(-A[lo]); h_rows.append(-l[lo])
-    G = np.vstack(G_rows) if G_rows else np.zeros((0, n))
-    h = np.concatenate(h_rows) if h_rows else np.zeros(0)
-    me, mi = Aeq.shape[0], G.shape[0]
-
-    x = np.zeros(n)
-    y = np.zeros(me)          # eq multipliers
-    # Mehrotra-style initial point: slacks start near feasibility for the
-    # (badly scaled) box rows, shifted well off the boundary
-    s0 = h - G @ x
-    shift = max(1.0, -1.5 * s0.min(initial=0.0))
-    s = s0 + shift            # slacks, Gx + s = h (+ shift infeasibility)
-    z = np.ones(mi)           # ineq multipliers >= 0
-
-    def residuals(x, y, s, z):
-        r_dual = P @ x + q + Aeq.T @ y + G.T @ z
-        r_eq = Aeq @ x - beq
-        r_ineq = G @ x + s - h
-        return r_dual, r_eq, r_ineq
-
-    for it in range(max_iter):
-        r_dual, r_eq, r_ineq = residuals(x, y, s, z)
-        mu = s @ z / max(mi, 1)
-        if (np.abs(r_dual).max(initial=0) < tol
-                and np.abs(r_eq).max(initial=0) < tol
-                and np.abs(r_ineq).max(initial=0) < tol
-                and mu < tol):
-            break
-
-        # KKT with ineq block eliminated: W = G' (Z/S) G
-        SZ = z / s
-        K = np.zeros((n + me, n + me))
-        K[:n, :n] = P + G.T @ (SZ[:, None] * G)
-        K[:n, n:] = Aeq.T
-        K[n:, :n] = Aeq
-        K[n:, n:] = -1e-12 * np.eye(me)  # tiny reg for numerical rank
-
-        def solve_newton(r_d, r_e, r_i, t):
-            # Newton on the perturbed KKT with target product s∘z -> t;
-            # eliminate (ds, dz): ds = -r_i - G dx,
-            # dz = t/s - z - (z/s) ds  =>  reduced system in (dx, dy)
-            rhs = np.concatenate([
-                -(r_d + G.T @ (SZ * r_i + t / s - z)), -r_e
-            ])
-            sol = np.linalg.solve(K, rhs)
-            dx, dy = sol[:n], sol[n:]
-            ds = -(r_i + G @ dx)
-            dz = (t - z * ds) / s - z
-            return dx, dy, ds, dz
-
-        # affine (predictor) step: target product 0
-        dx_a, dy_a, ds_a, dz_a = solve_newton(r_dual, r_eq, r_ineq, np.zeros(mi))
-
-        def max_step(v, dv):
-            neg = dv < 0
-            if not neg.any():
-                return 1.0
-            return min(1.0, float(np.min(-v[neg] / dv[neg])))
-
-        a_p = max_step(s, ds_a)
-        a_d = max_step(z, dz_a)
-        mu_aff = (s + a_p * ds_a) @ (z + a_d * dz_a) / max(mi, 1)
-        sigma = (mu_aff / max(mu, 1e-300)) ** 3 if mi else 0.0
-
-        # corrector: target sigma*mu - ds_a∘dz_a
-        r_cent = sigma * mu - ds_a * dz_a
-        dx, dy, ds, dz = solve_newton(r_dual, r_eq, r_ineq, r_cent)
-
-        a = 0.995 * min(max_step(s, ds), max_step(z, dz))
-        # safeguard: never let a step blow the complementarity measure up
-        for _ in range(30):
-            if ((s + a * ds) @ (z + a * dz) / max(mi, 1)
-                    <= 10.0 * max(mu, 1e-14)):
-                break
-            a *= 0.5
-        x += a * dx
-        y += a * dy
-        s += a * ds
-        z += a * dz
-
-    r_dual, r_eq, r_ineq = residuals(x, y, s, z)
-    info = {
-        "iters": it + 1,
-        "kkt_dual": float(np.abs(r_dual).max(initial=0)),
-        "kkt_eq": float(np.abs(r_eq).max(initial=0)),
-        "kkt_ineq": float(np.abs(r_ineq).max(initial=0)),
-        "mu": float(s @ z / max(mi, 1)),
-    }
-    return x, info
-
-
-# ---------------------------------------------------------------------------
-# Oracle 2: OSQP's published algorithm in NumPy at the reference settings
-# ---------------------------------------------------------------------------
-
-def osqp_numpy(P, q, A, l, u, max_iter=50, eps_abs=1e-4, eps_rel=1e-4,
-               scaling=3, rho=0.1, sigma=1e-6, alpha=1.6,
-               check_termination=25):
-    """Faithful f64 NumPy rendering of OSQP (Stellato et al. 2020).
-
-    Modified Ruiz equilibration (``scaling`` iterations, with the cost
-    scalar c), per-row rho (rho*1e3 on equality rows), sigma-regularized
-    KKT solved directly, alpha over-relaxation, OSQP's unscaled
-    eps_abs/eps_rel termination test every ``check_termination`` iters.
-    Settings mirror /root/reference/src/mpc/osqp_rti.py:54-60.
-    """
-    P, q, A, l, u = (np.asarray(a, np.float64).copy() for a in (P, q, A, l, u))
-    n, m = q.shape[0], A.shape[0]
-
-    # --- modified Ruiz equilibration with cost scaling (OSQP scaling.c) ---
-    D = np.ones(n)
-    E = np.ones(m)
-    c = 1.0
-    Ps, qs, As = P.copy(), q.copy(), A.copy()
-    for _ in range(scaling):
-        # column norms of [Ps; As] for delta_d, row norms of As for delta_e
-        col = np.maximum(
-            np.abs(Ps).max(axis=0, initial=0), np.abs(As).max(axis=0, initial=0)
-        )
-        col[col == 0] = 1.0
-        dd = 1.0 / np.sqrt(col)
-        row = np.abs(As).max(axis=1, initial=0)
-        row[row == 0] = 1.0
-        de = 1.0 / np.sqrt(row)
-        Ps = dd[:, None] * Ps * dd[None, :]
-        qs = dd * qs
-        As = de[:, None] * As * dd[None, :]
-        D *= dd
-        E *= de
-        # cost scaling: mean of inf-norms of Ps columns vs |qs|
-        pcol = np.abs(Ps).max(axis=0, initial=0)
-        g = 1.0 / max(np.mean(pcol), np.abs(qs).max(initial=0), 1e-12)
-        Ps *= g
-        qs *= g
-        c *= g
-    ls = E * np.clip(l, -INF, INF)
-    us = E * np.clip(u, -INF, INF)
-
-    # --- per-row rho: equality rows get rho*1e3 (OSQP auxil.c) ---
-    eq = np.isfinite(ls) & np.isfinite(us) & (us - ls < 1e-12)
-    rho_vec = np.where(eq, rho * 1e3, rho)
-    rho_inv = 1.0 / rho_vec
-
-    # --- KKT (direct, dense) ---
-    K = np.zeros((n + m, n + m))
-    K[:n, :n] = Ps + sigma * np.eye(n)
-    K[:n, n:] = As.T
-    K[n:, :n] = As
-    K[n:, n:] = -np.diag(rho_inv)
-    K_lu = np.linalg.inv(K)  # small dense problem; explicit inverse is fine
-
-    x = np.zeros(n)
-    zv = np.zeros(m)
-    y = np.zeros(m)
-    status = "max_iter"
-    iters = max_iter
-    for k in range(1, max_iter + 1):
-        rhs = np.concatenate([sigma * x - qs, zv - rho_inv * y])
-        sol = K_lu @ rhs
-        xt = sol[:n]
-        nu = sol[n:]
-        zt = zv + rho_inv * (nu - y)
-        x_new = alpha * xt + (1 - alpha) * x
-        z_prev = zv
-        zv = np.clip(alpha * zt + (1 - alpha) * z_prev + rho_inv * y, ls, us)
-        y = y + rho_vec * (alpha * zt + (1 - alpha) * z_prev - zv)
-        x = x_new
-
-        if k % check_termination == 0 or k == max_iter:
-            # unscaled residuals (OSQP termination test)
-            xu = D * x
-            zu = zv / E
-            yu = c ** -1 * E * y
-            Ax = A @ xu
-            pri = np.abs(Ax - zu).max(initial=0)
-            Px = P @ xu
-            Aty = A.T @ yu
-            dua = np.abs(Px + q + Aty).max(initial=0)
-            eps_pri = eps_abs + eps_rel * max(
-                np.abs(Ax).max(initial=0), np.abs(zu).max(initial=0))
-            eps_dua = eps_abs + eps_rel * max(
-                np.abs(Px).max(initial=0), np.abs(Aty).max(initial=0),
-                np.abs(q).max(initial=0))
-            if pri < eps_pri and dua < eps_dua:
-                status = "solved"
-                iters = k
-                break
-
-    return D * x, {"status": status, "iters": iters}
+from tests._oracles import ipm_solve, osqp_numpy  # noqa: E402
 
 
 # ---------------------------------------------------------------------------

@@ -230,6 +230,40 @@ class TestSCVX:
         )(x0)
         assert bool(sol.converged)
 
+    def test_free_time_matches_sigma_oracle(self, p3):
+        """SURVEY hard part 7 / VERDICT r1 item 9: the duration sweep must
+        find the same (t_f, fuel) optimum as the reference's sigma
+        time-dilation formulation (scvx_interface.py:232-280). The oracle
+        (tests/_oracles.sigma_scp) carries sigma as a decision variable of
+        each convex subproblem — hard terminal rows, virtual-control slack,
+        true-fuel objective — solved in f64 by the independent IPM."""
+        from tests._oracles import sigma_scp
+
+        x0 = jnp.array([2.0, 25.0, 1.0, -0.5, -3.0, 0.0, 0.0])
+        xT = jnp.zeros(7).at[0].set(2.0)
+
+        _, _, sigma_star, fuel_star = sigma_scp(
+            np.asarray(x0), np.asarray(xT),
+            alpha_mdot=float(p3.alpha), m_dry=float(p3.m_dry),
+        )
+
+        # sweep t_f over a grid bracketing the oracle optimum; 0.5-wide cells
+        step_dt = lambda x, u, dt: r3.step(p3, x, u, dt)
+        cfg = SCVXConfig(N=40)
+        cands = jnp.linspace(0.125, 0.25, 11)  # t_f in [5, 10], spacing 0.5
+        sol = jax.jit(
+            lambda x: scvx_free_time(step_dt, cfg, x, xT, cands)
+        )(x0)
+        t_f = float(sol.dt) * cfg.N
+
+        assert bool(sol.converged)
+        # same duration to within one grid cell of the continuous optimum
+        assert abs(t_f - sigma_star) <= 0.5 + 1e-6, (t_f, sigma_star)
+        # same fuel to a few percent (Euler-vs-exact integration + soft-vs-
+        # hard terminal differences)
+        assert abs(float(sol.fuel_used) - fuel_star) / fuel_star < 0.05, (
+            float(sol.fuel_used), fuel_star)
+
     def test_glideslope_facets_in_subproblems(self, p3):
         """SCVX with glideslope facet rows: planned path stays inside the
         cone (with the vertex offset) and still reaches the target."""
