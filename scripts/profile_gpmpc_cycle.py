@@ -1,0 +1,288 @@
+#!/usr/bin/env python
+"""Component-level timing of the GP-MPC control cycle (condensed QP path).
+
+Times each stage of the benched GP-MPC configuration in isolation: the
+GP-augmented re-anchoring rollout, AD linearization + GP posterior (mean and
+variance at every knot), covariance propagation + tightening, condensed QP
+build, Ruiz + KKT factorization, ADMM iteration chunks, and the full cycle.
+Methodology follows profile_cycle.py: each stage runs in a scan-of-STEPS
+window under one jit dispatch so the tunnel round trip amortizes out.
+
+Usage: python scripts/profile_gpmpc_cycle.py [BATCH] [STEPS]
+"""
+
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import jax
+import jax.numpy as jnp
+
+from gpmpc_tpu.dynamics import Rocket3DoFParams, rocket3dof as r3
+from gpmpc_tpu.dynamics.linearize import trajectory_jacobians
+from gpmpc_tpu.gp import ResidualCollector, Simple3DoFGP, StructuredGPConfig
+from gpmpc_tpu.mpc import GPMPCConfig, RTIConfig, gp_mpc_init, gp_mpc_solve
+from gpmpc_tpu.mpc.gp_mpc import _augmented_rollout
+from gpmpc_tpu.mpc.uncertainty_prop import box_tightening, propagate_linear
+from gpmpc_tpu.ops.qp import ADMMConfig, solve
+from gpmpc_tpu.ops.qp.admm import _factor, _rho_vec
+from gpmpc_tpu.ops.qp.condensed import build_condensed_qp
+from gpmpc_tpu.ops.qp.ruiz import ruiz_equilibrate
+
+N = 20
+BATCH = int(sys.argv[1]) if len(sys.argv) > 1 else 512
+STEPS = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+WINDOWS = 3
+
+p = Rocket3DoFParams()
+p_true = p.replace(rho=1.0, C_D=1.0, A_ref=0.1)
+dt = 0.1
+F = lambda x, u: r3.step(p, x, u, dt)
+F_true = lambda x, u: r3.step(p_true, x, u, dt)
+xT = jnp.zeros(7).at[0].set(2.0)
+
+# -- fitted GP (same as bench.py) ---------------------------------------------
+key = jax.random.PRNGKey(0)
+
+
+def explore(x, k):
+    u = r3.clamp_thrust(
+        p, r3.hover_thrust(p, x)
+        + 0.3 * jax.random.normal(jax.random.fold_in(key, k), (3,))
+    )
+    xn = F_true(x, u)
+    x_out = jnp.where(xn[1] > 0.5, xn,
+                      jnp.array([2.0, 25.0, -1.0, 2.0, -4.0, -0.5, 0.1]))
+    return x_out, (x, u, xn)
+
+
+x_start = jnp.array([2.0, 30.0, 1.0, -1.0, -3.0, 0.5, 0.2])
+_, (Xd, Ud, Xnd) = jax.lax.scan(explore, x_start, jnp.arange(128))
+res = ResidualCollector(dt=dt).collect_batch(F, Xd, Ud, Xnd)
+gp = Simple3DoFGP.create(StructuredGPConfig(max_data_points=128, n_inducing=48))
+gp = gp.add_data_batch(Xd, Ud, res).fit(jax.random.PRNGKey(1))
+mean_fn = lambda x, u: Simple3DoFGP.lift_residual(gp.predict_gated(x, u)[0], 7)
+var_fn = lambda x, u: gp.predict(x, u)[1]
+
+cfg = GPMPCConfig(
+    base=RTIConfig(
+        N=N, accept_pri_tol=5e-3, condensed=True,
+        admm=ADMMConfig(max_iter=100, polish=False, adaptive_rho=False,
+                        scaling=3, use_pallas="off"),
+    ),
+    scp_iterations=2, tighten=True,
+)
+base = cfg.base
+
+x0s = jnp.tile(jnp.array([2.0, 30.0, 0.0, 0.0, -3.0, 0.0, 0.0]), (BATCH, 1))
+x0s = x0s.at[:, 1].add(jnp.linspace(0.0, 5.0, BATCH))
+states = jax.vmap(lambda x: gp_mpc_init(cfg, x, xT))(x0s)
+
+
+def timed(name, fn, *args):
+    out = fn(*args)
+    anchor = jax.tree.leaves(out)[0]
+    _ = jax.device_get(jnp.ravel(anchor)[0])
+    t0 = time.time()
+    for _i in range(WINDOWS):
+        out = fn(*args)
+        anchor = jax.tree.leaves(out)[0]
+        _ = jax.device_get(jnp.ravel(anchor)[0])
+    dt_ms = (time.time() - t0) / (WINDOWS * STEPS) * 1e3
+    print(f"{name:40s} {dt_ms:8.2f} ms/cycle", flush=True)
+    return dt_ms
+
+
+def repeat(body):
+    @jax.jit
+    def run(carry):
+        def step(c, _):
+            return body(c), None
+
+        c, _ = jax.lax.scan(step, carry, None, length=STEPS)
+        return c
+
+    return run
+
+
+# -- full cycle ---------------------------------------------------------------
+def full_cycle(carry):
+    st, xs = carry
+    sols, st = jax.vmap(
+        lambda s, x: gp_mpc_solve(F, mean_fn, var_fn, cfg, s, x)
+    )(st, xs)
+    xs = jax.vmap(F_true)(xs, sols.u0)
+    return (st, xs)
+
+
+timed("FULL GP-MPC cycle (+plant)", repeat(full_cycle), (states, x0s))
+
+
+# -- stage: augmented rollout -------------------------------------------------
+def rollout_only(carry):
+    st, xs = carry
+    X = jax.vmap(
+        lambda s, x: _augmented_rollout(
+            F, mean_fn, s.X_lin.at[0].set(x), s.U_lin, dt
+        )
+    )(st, xs)
+    xs = xs + 1e-20 * jnp.sum(X, axis=(1, 2))[:, None]
+    return (st, xs)
+
+
+timed("augmented rollout (GP mean/knot)", repeat(rollout_only), (states, x0s))
+
+
+# -- stage: linearize + GP posterior ------------------------------------------
+def lin_gp_only(carry):
+    st, xs = carry
+
+    def one(s):
+        Aks, Bks, cks = trajectory_jacobians(F, s.X_lin, s.U_lin)
+        gm = jax.vmap(mean_fn)(s.X_lin[:-1], s.U_lin)
+        gv = jax.vmap(var_fn)(s.X_lin[:-1], s.U_lin)
+        return jnp.sum(Aks) + jnp.sum(gm) + jnp.sum(gv)
+
+    tot = jax.vmap(one)(st)
+    xs = xs + 1e-20 * tot[:, None]
+    return (st, xs)
+
+
+timed("linearize + GP mean+var per knot", repeat(lin_gp_only), (states, x0s))
+
+
+def lin_only(carry):
+    st, xs = carry
+    Aks, _, _ = jax.vmap(
+        lambda s: trajectory_jacobians(F, s.X_lin, s.U_lin)
+    )(st)
+    xs = xs + 1e-20 * jnp.sum(Aks, axis=(1, 2, 3))[:, None]
+    return (st, xs)
+
+
+timed("linearize only", repeat(lin_only), (states, x0s))
+
+
+# -- stage: covariance propagation + tightening -------------------------------
+def prop_only(carry):
+    st, xs = carry
+
+    def one(s):
+        Aks, _, _ = trajectory_jacobians(F, s.X_lin, s.U_lin)
+        gv = jax.vmap(var_fn)(s.X_lin[:-1], s.U_lin)
+        Sigma0 = cfg.sigma0_scale * jnp.eye(7)
+        prop = propagate_linear(Aks, s.X_lin, Sigma0, gv, dt)
+        return jnp.sum(box_tightening(prop.covariances, cfg.confidence))
+
+    tot = jax.vmap(one)(st)
+    xs = xs + 1e-20 * tot[:, None]
+    return (st, xs)
+
+
+timed("lin + GPvar + cov-prop + tighten", repeat(prop_only), (states, x0s))
+
+
+# -- stage: condensed build ---------------------------------------------------
+def build_only(carry):
+    st, xs = carry
+
+    def one(s, x):
+        Aks, Bks, cks = trajectory_jacobians(F, s.X_lin, s.U_lin)
+        data, Gs, ds = build_condensed_qp(
+            Aks, Bks, cks, x, base.Q, base.R, base.Qf, s.x_ref,
+            base.x_min, base.x_max, base.u_min, base.u_max,
+        )
+        return data
+
+    data = jax.vmap(one)(st, xs)
+    xs = xs + 1e-20 * jnp.sum(data.A, axis=(1, 2))[:, None]
+    return (st, xs)
+
+
+timed("linearize + condensed QP build", repeat(build_only), (states, x0s))
+
+
+# precomputed condensed data for solver-only stages
+def prep(s, x):
+    Aks, Bks, cks = trajectory_jacobians(F, s.X_lin, s.U_lin)
+    data, _, _ = build_condensed_qp(
+        Aks, Bks, cks, x, base.Q, base.R, base.Qf, s.x_ref,
+        base.x_min, base.x_max, base.u_min, base.u_max,
+    )
+    return data
+
+
+data0 = jax.jit(jax.vmap(prep))(states, x0s)
+jax.block_until_ready(data0.P)
+
+
+# -- stage: Ruiz + factor -----------------------------------------------------
+def factor_only(carry):
+    st, xs = carry
+
+    def one(d, r):
+        sd, scal = ruiz_equilibrate(d, base.admm.scaling)
+        rho_v = _rho_vec(sd.l, sd.u, r)
+        K = _factor(sd.P, sd.A, rho_v, base.admm.sigma)
+        return jnp.sum(K)
+
+    tot = jax.vmap(one)(data0, st.rho)
+    xs = xs + 1e-20 * tot[:, None]
+    return (st, xs)
+
+
+timed("Ruiz + rho + Cholesky-inv factor", repeat(factor_only), (states, x0s))
+
+
+def ruiz_only(carry):
+    st, xs = carry
+
+    def one(d):
+        sd, scal = ruiz_equilibrate(d, base.admm.scaling)
+        return jnp.sum(sd.A)
+
+    tot = jax.vmap(one)(data0)
+    xs = xs + 1e-20 * tot[:, None]
+    return (st, xs)
+
+
+timed("Ruiz only", repeat(ruiz_only), (states, x0s))
+
+
+# -- stage: full ADMM solve on prebuilt data ----------------------------------
+def solve_only(carry):
+    st, xs = carry
+
+    def one(d, s):
+        return solve(d, s.U_lin.reshape(-1), s.y_prev, base.admm, rho0=s.rho)
+
+    sol = jax.vmap(one)(data0, st)
+    xs = xs + 1e-20 * sol.x[:, :7]
+    return (st, xs)
+
+
+timed("solve (Ruiz+factor+100 ADMM+checks)", repeat(solve_only), (states, x0s))
+
+
+# -- stage: solve with max_iter=50 -------------------------------------------
+admm50 = ADMMConfig(max_iter=50, polish=False, adaptive_rho=False,
+                    scaling=3, use_pallas="off")
+
+
+def solve50_only(carry):
+    st, xs = carry
+
+    def one(d, s):
+        return solve(d, s.U_lin.reshape(-1), s.y_prev, admm50, rho0=s.rho)
+
+    sol = jax.vmap(one)(data0, st)
+    xs = xs + 1e-20 * sol.x[:, :7]
+    return (st, xs)
+
+
+timed("solve (Ruiz+factor+50 ADMM+checks)", repeat(solve50_only), (states, x0s))
+
+print(f"\nbatch={BATCH} N={N} scp_iters={cfg.scp_iterations} "
+      f"devices={jax.devices()}", flush=True)

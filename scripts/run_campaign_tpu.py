@@ -129,6 +129,12 @@ def main() -> int:
                     help="compose the predictive safety filter per cycle and "
                          "run the with/without ablation on shared ICs")
     ap.add_argument("--cpu", action="store_true", help="force the CPU backend")
+    ap.add_argument("--chunk", type=int, default=0,
+                    help="split the batch into dispatches of this many lanes "
+                         "(0 = one dispatch). Long single dispatches (minutes) "
+                         "can trip the TPU worker watchdog through the relay; "
+                         "chunking keeps each dispatch short with identical "
+                         "results (lanes are independent).")
     ap.add_argument("--sparse", action="store_true",
                     help="sparse z=[x;u] QP instead of the condensed form")
     ap.add_argument("--out", type=str, default=None, help="write JSON here")
@@ -196,15 +202,25 @@ def main() -> int:
                                 cstate_info=cstate_info)
     )
 
+    chunk = args.chunk or args.batch
+
     def timed():
         # fetch a scalar to anchor the timing (block_until_ready does not
         # block through the axon relay)
         t0 = time.time()
-        res = camp(x0s)
-        float(jax.device_get(jnp.sum(res["outcome"])))
+        parts = []
+        for i in range(0, args.batch, chunk):
+            r = camp(x0s[i : i + chunk])
+            float(jax.device_get(jnp.sum(r["outcome"])))
+            parts.append(r)
+        res = jax.tree.map(lambda *xs: jnp.concatenate(xs), *parts)
         return res, time.time() - t0
 
-    _, compile_s = timed()
+    # warm/compile on the first chunk only (all chunks share the program)
+    t0 = time.time()
+    r0 = camp(x0s[:chunk])
+    float(jax.device_get(jnp.sum(r0["outcome"])))
+    compile_s = time.time() - t0
     res, run_s = timed()
     stats = campaign_statistics(res)
     print(summarize(jax.device_get(stats)))
