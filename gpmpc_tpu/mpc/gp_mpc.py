@@ -65,6 +65,13 @@ class GPMPCConfig:
     # as RTIConfig.warm_kkt). Requires gp_mpc_init(..., step_fn=...) and an
     # admm config with adaptive_rho disabled (ρ rides in the state).
     warm_kkt: bool = struct.field(pytree_node=False, default=False)
+    # evaluate the rollout GP residuals as a frozen per-knot tape (one
+    # batched posterior eval at the incumbent plan's knots) instead of
+    # sequentially at each rollout state. The tape differs from the exact
+    # augmented rollout by O(Δx·∂μ/∂x) — second order in the re-anchoring
+    # step — while replacing 20 latency-bound sequential GP posteriors with
+    # one batched one (~2.5 ms/cycle at batch 512).
+    rollout_gp_tape: bool = struct.field(pytree_node=False, default=False)
 
 
 class GPMPCSolution(NamedTuple):
@@ -134,12 +141,24 @@ def gp_mpc_solve(
     # re-anchor: forward-simulate the warm-start controls from the measured
     # state so the linearization trajectory is dynamically consistent
     # (gp_mpc.py:258-281); trust regions are then meaningful.
-    roll_mean = gp_mean_fn if config.augment_rollout else (
-        lambda x, u: jnp.zeros(n_x, x0.dtype)
-    )
-    X_sim = _augmented_rollout(
-        step_fn, roll_mean, state.X_lin.at[0].set(x0), state.U_lin, dt
-    )
+    if config.augment_rollout and config.rollout_gp_tape:
+        # frozen residual tape: one batched GP eval at the incumbent knots
+        tape = jax.vmap(gp_mean_fn)(state.X_lin[:-1], state.U_lin)
+
+        def tape_body(x, inp):
+            u, mu = inp
+            x_next = step_fn(x, u) + dt * mu
+            return x_next, x_next
+
+        _, X_roll = jax.lax.scan(tape_body, x0, (state.U_lin, tape))
+        X_sim = jnp.concatenate([x0[None], X_roll], axis=0)
+    else:
+        roll_mean = gp_mean_fn if config.augment_rollout else (
+            lambda x, u: jnp.zeros(n_x, x0.dtype)
+        )
+        X_sim = _augmented_rollout(
+            step_fn, roll_mean, state.X_lin.at[0].set(x0), state.U_lin, dt
+        )
 
     def scp_iter(carry, _):
         X_lin, U_lin, rho, y_prev, kkt_inv, dX_prev, done = carry
@@ -296,9 +315,21 @@ def gp_mpc_init(
     U_lin = (
         jnp.tile(jnp.zeros(cfg.n_u).at[0].set(x0[0]), (N, 1)) if U_init is None else U_init
     )
+    if config.warm_kkt and cfg.condensed:
+        # The condensed M = ΓᵀWΓ + … is rebuilt from scratch by every
+        # re-linearization, and under GP-SCP steps (augmented defects +
+        # tightened boxes re-centering) it moves far enough that the
+        # Newton–Schulz refresh chain loses track of it — while the exact
+        # (N·n_u)² condensed factorization costs almost nothing (measured ~0
+        # at batch 512 on TPU v5e). The condensed path therefore always
+        # factors exactly, per subproblem. (RTI's one-linearization cycles
+        # drift slowly enough that its condensed warm_kkt is safe — see
+        # tests/test_mpc.py::TestWarmKKT.)
+        raise ValueError(
+            "condensed GP-MPC does not support warm_kkt (and does not need "
+            "it: the condensed factorization is cheap; use condensed alone)"
+        )
     if config.warm_kkt:
-        if cfg.condensed:
-            raise ValueError("warm_kkt and condensed are mutually exclusive")
         if step_fn is None:
             raise ValueError("warm_kkt requires gp_mpc_init(..., step_fn=...)")
         gmean = gp_mean_fn or (lambda x, u: jnp.zeros(cfg.n_x, dtype))

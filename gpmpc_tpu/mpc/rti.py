@@ -76,7 +76,16 @@ def _solve_qp(config, state, Aks, Bks, cks, x_current, z0_XU, y0):
             config.Gx, config.gx_l, config.gx_u,
             config.Gu, config.gu_l, config.gu_u,
         )
-        sol = solve(data, U0.reshape(-1), y0, config.admm, rho0=state.rho)
+        if config.warm_kkt:
+            sol = solve(
+                data, U0.reshape(-1), y0, config.admm, rho0=state.rho,
+                fixed_scaling=Scaling(
+                    D=state.scal_D, E=state.scal_E, c=state.scal_c
+                ),
+                kkt_inv0=state.kkt_inv,
+            )
+        else:
+            sol = solve(data, U0.reshape(-1), y0, config.admm, rho0=state.rho)
         U_sol = sol.x.reshape(N, config.n_u)
         X_sol = recover_states(Gs, ds, sol.x, x_current)
         return sol, X_sol, U_sol
@@ -150,9 +159,10 @@ class RTIConfig:
     # Condensed QP: eliminate states, variables = controls only (N·n_u vs
     # (N+1)·n_x + N·n_u) — see ops/qp/condensed.py. ~5× smaller ADMM matvecs
     # and a 40× cheaper per-cycle factorization, at the cost of the classic
-    # condensed conditioning (ΓᵀQΓ); the solution is the same u*. Mutually
-    # exclusive with warm_kkt (the condensed factorization is cheap enough to
-    # recompute every cycle, which is also what keeps it robust).
+    # condensed conditioning (ΓᵀQΓ); the solution is the same u*. Composes
+    # with warm_kkt: the (N·n_u)² KKT inverse is then Newton–Schulz-refreshed
+    # across cycles under the frozen init-time Ruiz scaling, removing the
+    # per-cycle Cholesky/triangular-solve entirely.
     condensed: bool = struct.field(pytree_node=False, default=False)
     # optional per-stage general linear rows (polyhedral glideslope /
     # gimbal-cone facets): Gx·x_k ∈ [gx_l, gx_u] for k=1..N (stage 0 is
@@ -226,8 +236,6 @@ def rti_init(
         m = (N + 1) * config.n_x + n_vars + _n_extra_rows(config)
     dtype = X_lin.dtype
     if config.warm_kkt:
-        if config.condensed:
-            raise ValueError("warm_kkt and condensed are mutually exclusive")
         if step_fn is None:
             raise ValueError("warm_kkt requires rti_init(..., step_fn=...)")
         # factor the QP that the FIRST rti_step will actually see: with
@@ -244,9 +252,19 @@ def rti_init(
         else:
             X_fact = X_lin
         Aks, Bks, cks = trajectory_jacobians(step_fn, X_fact, U_lin)
-        data = _build_rti_qp(
-            config, Aks, Bks, cks, x0, jnp.tile(x_target, (N + 1, 1))
-        )
+        if config.condensed:
+            data, _, _ = build_condensed_qp(
+                Aks, Bks, cks, x0,
+                config.Q, config.R, config.Qf,
+                jnp.tile(x_target, (N + 1, 1)),
+                config.x_min, config.x_max, config.u_min, config.u_max,
+                config.Gx, config.gx_l, config.gx_u,
+                config.Gu, config.gu_l, config.gu_u,
+            )
+        else:
+            data = _build_rti_qp(
+                config, Aks, Bks, cks, x0, jnp.tile(x_target, (N + 1, 1))
+            )
         sdata, scal = ruiz_equilibrate(data, max(config.admm.scaling, 3))
         rho_v = _rho_vec(sdata.l, sdata.u, jnp.asarray(config.admm.rho, dtype))
         kkt_inv = _factor(sdata.P, sdata.A, rho_v, config.admm.sigma)

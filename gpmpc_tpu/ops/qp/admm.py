@@ -86,6 +86,21 @@ class ADMMConfig:
     # "auto" = on TPU backends, "on"/"off" force it (off on CPU tests; the
     # kernel is bit-compatible with the jnp path — see tests/test_pallas.py)
     use_pallas: str = struct.field(pytree_node=False, default="auto")
+    # compute primal/dual infeasibility certificates at every check (OSQP's
+    # δx/δy tests). Off in real-time configs: the certificates cost ~as much
+    # as the residual test itself (4 extra matvecs per check) and the
+    # controller's acceptance/fallback ladder already handles unsolved
+    # subproblems; infeasible QPs then report MAX_ITER instead.
+    infeas_certs: bool = struct.field(pytree_node=False, default=True)
+    # dtype of the loop-invariant matrices (A, KKT inverse) inside the
+    # iteration matvecs: "bf16" halves the HBM traffic of the memory-bound
+    # ADMM bulk (accumulation stays f32 via preferred_element_type; iterates,
+    # bounds, projections, and all residual/termination tests stay f32). The
+    # fixed point shifts by the bf16 quantization of the operators (~4e-3
+    # relative); gate with accept_pri_tol / landing-quality checks. Applies
+    # to the XLA path only (the Pallas kernel keeps its matrices in VMEM
+    # where bandwidth is not the bottleneck).
+    matvec_dtype: str = struct.field(pytree_node=False, default="f32")
 
 
 def _rho_vec(l: Array, u: Array, rho: Array) -> Array:
@@ -285,16 +300,37 @@ def solve(
         )
         return r_prim, r_dual, prim_norm, dual_norm
 
-    def one_iter(carry):
-        x, z, y, rho_v, L = carry
-        rhs = cfg.sigma * x - q + A.T @ (rho_v * z - y)
-        x_t = _kkt_solve(L, rhs)
-        z_t = A @ x_t
-        x_new = cfg.alpha * x_t + (1.0 - cfg.alpha) * x
-        z_relax = cfg.alpha * z_t + (1.0 - cfg.alpha) * z
-        z_new = jnp.clip(z_relax + y / rho_v, l, u)
-        y_new = y + rho_v * (z_relax - z_new)
-        return x_new, z_new, y_new
+    def make_one_iter(A_mv, L_mv):
+        bf16 = A_mv.dtype == jnp.bfloat16
+
+        def mvT(M, v):  # Mᵀ·v
+            if not bf16:
+                return M.T @ v
+            return jax.lax.dot_general(
+                M, v.astype(M.dtype), (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+
+        def mv(M, v):  # M·v
+            if not bf16:
+                return M @ v
+            return jax.lax.dot_general(
+                M, v.astype(M.dtype), (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+
+        def one_iter(carry):
+            x, z, y, rho_v = carry
+            rhs = cfg.sigma * x - q + mvT(A_mv, rho_v * z - y)
+            x_t = mv(L_mv, rhs)
+            z_t = mv(A_mv, x_t)
+            x_new = cfg.alpha * x_t + (1.0 - cfg.alpha) * x
+            z_relax = cfg.alpha * z_t + (1.0 - cfg.alpha) * z
+            z_new = jnp.clip(z_relax + y / rho_v, l, u)
+            y_new = y + rho_v * (z_relax - z_new)
+            return x_new, z_new, y_new
+
+        return one_iter
 
     n_chunks = max(cfg.max_iter // cfg.check_interval, 1)
 
@@ -314,7 +350,7 @@ def solve(
         return chunk
 
     def _chunk_body(state, allow_refactor):
-        x, z, y, rho_v, L, rho, it, done, status = state
+        x, z, y, rho_v, L, rho, it, done, status, _, _ = state
         x_prev, y_prev = x, y
 
         if pallas_iters:
@@ -325,8 +361,17 @@ def solve(
                 iters=cfg.check_interval, sigma=cfg.sigma, alpha=cfg.alpha,
             )
         else:
+            if cfg.matvec_dtype == "bf16":
+                # one cast per chunk (loop-invariant), halving the per-
+                # iteration HBM stream of the two big operands
+                one_iter = make_one_iter(
+                    A.astype(jnp.bfloat16), L.astype(jnp.bfloat16)
+                )
+            else:
+                one_iter = make_one_iter(A, L)
+
             def body(_, c):
-                xx, zz, yy = one_iter((c[0], c[1], c[2], rho_v, L))
+                xx, zz, yy = one_iter((c[0], c[1], c[2], rho_v))
                 return (xx, zz, yy)
 
             x_n, z_n, y_n = jax.lax.fori_loop(
@@ -344,32 +389,43 @@ def solve(
         eps_dual = cfg.eps_abs + cfg.eps_rel * dual_norm
         converged = (r_prim <= eps_prim) & (r_dual <= eps_dual)
 
-        # infeasibility certificates on the unscaled δ sequences; with scaled
-        # diffs dy_s = ȳ−ȳ_prev, dx_s = x̄−x̄_prev the unscaled quantities are
-        #   δy = (E/c)·dy_s,  Aᵀδy = D⁻¹Āᵀdy_s/c,  δx = D·dx_s,
-        #   Pδx = D⁻¹P̄dx_s/c,  qᵀδx = q̄·dx_s/c,  Aδx = E⁻¹Ādx_s
-        dy_s = y - y_prev
-        dy = (E / c) * dy_s
-        dy_norm = jnp.max(jnp.abs(dy))
-        dx_s = x - x_prev
-        dx = D * dx_s
-        dx_norm = jnp.max(jnp.abs(dx))
-        uu = jnp.where(u >= _INF, 0.0, Einv * u)
-        ll = jnp.where(l <= -_INF, 0.0, Einv * l)
-        prim_cert = (
-            (dy_norm > 1e-12)
-            & (jnp.max(jnp.abs(Dinv * (A.T @ dy_s))) / c <= cfg.eps_infeas * dy_norm)
-            & ((jnp.dot(uu, jnp.maximum(dy, 0)) + jnp.dot(ll, jnp.minimum(dy, 0)))
-               <= cfg.eps_infeas * dy_norm)
-        )
-        Adx = Einv * (A @ dx_s)
-        dual_cert = (
-            (dx_norm > 1e-12)
-            & (jnp.max(jnp.abs(Dinv * (P @ dx_s))) / c <= cfg.eps_infeas * dx_norm)
-            & (jnp.dot(q, dx_s) / c <= cfg.eps_infeas * dx_norm)
-            & (jnp.all(jnp.where(u >= _INF, True, Adx <= cfg.eps_infeas * dx_norm)))
-            & (jnp.all(jnp.where(l <= -_INF, True, Adx >= -cfg.eps_infeas * dx_norm)))
-        )
+        if cfg.infeas_certs:
+            # infeasibility certificates on the unscaled δ sequences; with
+            # scaled diffs dy_s = ȳ−ȳ_prev, dx_s = x̄−x̄_prev the unscaled are
+            #   δy = (E/c)·dy_s,  Aᵀδy = D⁻¹Āᵀdy_s/c,  δx = D·dx_s,
+            #   Pδx = D⁻¹P̄dx_s/c,  qᵀδx = q̄·dx_s/c,  Aδx = E⁻¹Ādx_s
+            dy_s = y - y_prev
+            dy = (E / c) * dy_s
+            dy_norm = jnp.max(jnp.abs(dy))
+            dx_s = x - x_prev
+            dx = D * dx_s
+            dx_norm = jnp.max(jnp.abs(dx))
+            uu = jnp.where(u >= _INF, 0.0, Einv * u)
+            ll = jnp.where(l <= -_INF, 0.0, Einv * l)
+            prim_cert = (
+                (dy_norm > 1e-12)
+                & (jnp.max(jnp.abs(Dinv * (A.T @ dy_s))) / c
+                   <= cfg.eps_infeas * dy_norm)
+                & ((jnp.dot(uu, jnp.maximum(dy, 0))
+                    + jnp.dot(ll, jnp.minimum(dy, 0)))
+                   <= cfg.eps_infeas * dy_norm)
+            )
+            Adx = Einv * (A @ dx_s)
+            dual_cert = (
+                (dx_norm > 1e-12)
+                & (jnp.max(jnp.abs(Dinv * (P @ dx_s))) / c
+                   <= cfg.eps_infeas * dx_norm)
+                & (jnp.dot(q, dx_s) / c <= cfg.eps_infeas * dx_norm)
+                & (jnp.all(jnp.where(
+                    u >= _INF, True, Adx <= cfg.eps_infeas * dx_norm)))
+                & (jnp.all(jnp.where(
+                    l <= -_INF, True, Adx >= -cfg.eps_infeas * dx_norm)))
+            )
+        else:
+            # real-time mode: the acceptance/fallback ladder above the solver
+            # handles pathological subproblems; skip the certificate matvecs
+            prim_cert = jnp.asarray(False)
+            dual_cert = jnp.asarray(False)
 
         status = jnp.where(done, status, jnp.where(
             converged,
@@ -395,11 +451,12 @@ def solve(
             rho_v = jnp.where(upd, rho_v_new, rho_v)
             L = jnp.where(upd, _factor(P, A, rho_v_new, cfg.sigma), L)
 
-        return (x, z, y, rho_v, L, rho, it, done, status), (r_prim, r_dual)
+        return (x, z, y, rho_v, L, rho, it, done, status, r_prim, r_dual), None
 
     status0 = jnp.asarray(MAX_ITER, jnp.int32)
+    zero = jnp.asarray(0.0, dtype)
     init = (x, z, y, rho_v, L, rho_init, jnp.asarray(0, jnp.int32),
-            jnp.asarray(False), status0)
+            jnp.asarray(False), status0, zero, zero)
     # adapt phase: leading chunks may adapt ρ and refactorize; the remaining
     # chunks share one factorization
     n_adapt = min(cfg.rho_adapt_chunks, n_chunks) if cfg.adaptive_rho else 0
@@ -410,9 +467,9 @@ def solve(
         state, _ = jax.lax.scan(
             make_chunk(False), state, None, length=n_chunks - n_adapt
         )
-    (x, z, y, rho_v, L, rho, it, done, status) = state
-
-    r_prim, r_dual, _, _ = residuals(x, z, y)
+    # residuals of the returned iterate were computed by the last live chunk
+    # (frozen lanes keep the residuals they converged at)
+    (x, z, y, rho_v, L, rho, it, done, status, r_prim, r_dual) = state
 
     # unscale
     x_u = D * x

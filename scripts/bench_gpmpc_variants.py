@@ -1,0 +1,127 @@
+#!/usr/bin/env python
+"""Compare GP-MPC cycle variants on the live backend (bench.py methodology).
+
+Usage: python scripts/bench_gpmpc_variants.py [BATCH] [STEPS] [variant ...]
+Variants: base, fs, fs_tape, fs_tape_50, fs_tape_75, fs_tape_bf16
+"""
+
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import jax
+import jax.numpy as jnp
+
+from gpmpc_tpu.dynamics import Rocket3DoFParams, rocket3dof as r3
+from gpmpc_tpu.gp import ResidualCollector, Simple3DoFGP, StructuredGPConfig
+from gpmpc_tpu.mpc import GPMPCConfig, RTIConfig, gp_mpc_init, gp_mpc_solve
+from gpmpc_tpu.ops.qp import ADMMConfig
+
+N = 20
+BATCH = int(sys.argv[1]) if len(sys.argv) > 1 else 512
+STEPS = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+WHICH = sys.argv[3:] or ["base", "fs_tape", "fs_tape_50", "fs_tape_75"]
+WINDOWS = 3
+
+p = Rocket3DoFParams()
+p_true = p.replace(rho=1.0, C_D=1.0, A_ref=0.1)
+dt = 0.1
+F = lambda x, u: r3.step(p, x, u, dt)
+F_true = lambda x, u: r3.step(p_true, x, u, dt)
+xT = jnp.zeros(7).at[0].set(2.0)
+
+key = jax.random.PRNGKey(0)
+
+
+def explore(x, k):
+    u = r3.clamp_thrust(
+        p, r3.hover_thrust(p, x)
+        + 0.3 * jax.random.normal(jax.random.fold_in(key, k), (3,))
+    )
+    xn = F_true(x, u)
+    x_out = jnp.where(xn[1] > 0.5, xn,
+                      jnp.array([2.0, 25.0, -1.0, 2.0, -4.0, -0.5, 0.1]))
+    return x_out, (x, u, xn)
+
+
+_, (Xd, Ud, Xnd) = jax.lax.scan(
+    explore, jnp.array([2.0, 30.0, 1.0, -1.0, -3.0, 0.5, 0.2]), jnp.arange(128)
+)
+res = ResidualCollector(dt=dt).collect_batch(F, Xd, Ud, Xnd)
+gp = Simple3DoFGP.create(StructuredGPConfig(max_data_points=128, n_inducing=48))
+gp = gp.add_data_batch(Xd, Ud, res).fit(jax.random.PRNGKey(1))
+mean_fn = lambda x, u: Simple3DoFGP.lift_residual(gp.predict_gated(x, u)[0], 7)
+var_fn = lambda x, u: gp.predict(x, u)[1]
+
+
+def mk(mi, ci, apt, fs, tape, mv="f32", scp=2, certs=True):
+    return GPMPCConfig(
+        base=RTIConfig(
+            N=N, accept_pri_tol=apt, condensed=True,
+            admm=ADMMConfig(max_iter=mi, check_interval=ci, polish=False,
+                            adaptive_rho=False, scaling=3, use_pallas="off",
+                            matvec_dtype=mv, infeas_certs=certs),
+        ),
+        scp_iterations=scp, tighten=True,
+        freeze_scaling=fs, rollout_gp_tape=tape,
+    )
+
+
+VARIANTS = {
+    "base": mk(100, 25, 5e-3, False, False),
+    "fs": mk(100, 25, 5e-3, True, False),
+    "fs_tape": mk(100, 50, 5e-3, True, True),
+    "fs_tape_50": mk(50, 50, 1e-2, True, True),
+    "fs_tape_75": mk(75, 25, 1e-2, True, True),
+    "fs_tape_bf16": mk(100, 50, 2e-2, True, True, "bf16"),
+    "2x50_nc": mk(50, 50, 1e-2, True, True, certs=False),
+    "1x100_nc": mk(100, 50, 1e-2, True, True, scp=1, certs=False),
+    "1x150_nc": mk(150, 50, 1e-2, True, True, scp=1, certs=False),
+    # fresh Ruiz per subproblem (no frozen preconditioner): the equilibration
+    # is cheap on TPU; freezing it was measured to trade robustness for ~0
+    "1x100_nf": mk(100, 50, 1e-2, False, True, scp=1, certs=False),
+    "1x150_nf": mk(150, 50, 1e-2, False, True, scp=1, certs=False),
+    "2x50_nf": mk(50, 50, 1e-2, False, True, certs=False),
+}
+
+x0s = jnp.tile(jnp.array([2.0, 30.0, 0.0, 0.0, -3.0, 0.0, 0.0]), (BATCH, 1))
+x0s = x0s.at[:, 1].add(jnp.linspace(0.0, 5.0, BATCH))
+
+for name in WHICH:
+    cfg = VARIANTS[name]
+    needs = cfg.warm_kkt or cfg.freeze_scaling
+    states = jax.vmap(
+        lambda x: gp_mpc_init(
+            cfg, x, xT,
+            step_fn=F if needs else None,
+            gp_mean_fn=mean_fn if needs else None,
+        )
+    )(x0s)
+
+    @jax.jit
+    def window(states, xs, cfg=cfg):
+        def body(carry, _):
+            states, xs = carry
+            sols, states = jax.vmap(
+                lambda s, x: gp_mpc_solve(F, mean_fn, var_fn, cfg, s, x)
+            )(states, xs)
+            xs = jax.vmap(F_true)(xs, sols.u0)
+            return (states, xs), None
+
+        (states, xs), _ = jax.lax.scan(body, (states, xs), None, length=STEPS)
+        return states, xs, jnp.mean(xs[:, 1])
+
+    s, x, alt = window(states, x0s)
+    _ = float(jax.device_get(alt))
+    t0 = time.time()
+    for _ in range(WINDOWS):
+        s, x, alt = window(s, x)
+        _ = float(jax.device_get(alt))
+    cycle_ms = (time.time() - t0) / (STEPS * WINDOWS) * 1e3
+    sps = BATCH * 1000.0 / cycle_ms
+    print(f"{name:14s} {cycle_ms:7.2f} ms/cycle  {sps:11.0f} solves/s  "
+          f"meets_50hz={cycle_ms < 20.0}", flush=True)
+
+print(f"batch={BATCH} N=20 devices={jax.devices()}", flush=True)

@@ -255,6 +255,111 @@ class TestGPMPCWarmKKT:
             results[warm] = np.asarray(xf)
         np.testing.assert_allclose(results[True], results[False], atol=0.01)
 
+    @pytest.mark.slow
+    def test_condensed_realtime_config_matches_conservative(self):
+        """The real-time condensed GP-MPC configuration (one SCP iteration
+        per cycle — the Diehl RTI argument applied to the GP loop — frozen
+        residual tape rollout, no infeasibility certificates, primal
+        acceptance) must land with the same quality as the conservative
+        2-iteration / full-certificate configuration, with a live fitted GP.
+        Also asserts condensed+warm_kkt is rejected by design: the NS refresh
+        cannot track the rebuilt ΓᵀWΓ under SCP steps (gp_mpc_init raises)."""
+        from gpmpc_tpu.gp import (
+            ResidualCollector, Simple3DoFGP, StructuredGPConfig)
+        from gpmpc_tpu.mpc import RTIConfig
+        from gpmpc_tpu.mpc.gp_mpc import make_gp_mpc_controller
+        from gpmpc_tpu.ops.qp import ADMMConfig
+        from gpmpc_tpu.reference import cubic_descent_reference
+
+        p = Rocket3DoFParams()
+        p_true = p.replace(rho=1.0, C_D=1.0, A_ref=0.1)
+        dt = 0.1
+        F = lambda x, u: r3.step(p, x, u, dt)
+        F_true = lambda x, u: r3.step(p_true, x, u, dt)
+        xT = jnp.zeros(7).at[0].set(2.0)
+
+        key = jax.random.PRNGKey(0)
+
+        def explore(x, k):
+            u = r3.clamp_thrust(
+                p, r3.hover_thrust(p, x)
+                + 0.3 * jax.random.normal(jax.random.fold_in(key, k), (3,)))
+            xn = F_true(x, u)
+            x_out = jnp.where(
+                xn[1] > 0.5, xn,
+                jnp.array([2.0, 25.0, -1.0, 2.0, -4.0, -0.5, 0.1]))
+            return x_out, (x, u, xn)
+
+        _, (Xd, Ud, Xnd) = jax.lax.scan(
+            explore, jnp.array([2.0, 30.0, 1.0, -1.0, -3.0, 0.5, 0.2]),
+            jnp.arange(96))
+        res = ResidualCollector(dt=dt).collect_batch(F, Xd, Ud, Xnd)
+        gp = Simple3DoFGP.create(
+            StructuredGPConfig(max_data_points=96, n_inducing=32))
+        gp = gp.add_data_batch(Xd, Ud, res).fit(jax.random.PRNGKey(1))
+        mean_fn = lambda x, u: Simple3DoFGP.lift_residual(
+            gp.predict_gated(x, u)[0], 7)
+        var_fn = lambda x, u: gp.predict(x, u)[1]
+
+        with pytest.raises(ValueError, match="condensed"):
+            bad = GPMPCConfig(
+                base=RTIConfig(N=20, condensed=True), warm_kkt=True)
+            from gpmpc_tpu.mpc.gp_mpc import gp_mpc_init
+
+            gp_mpc_init(bad, jnp.zeros(7), xT, step_fn=F, gp_mean_fn=mean_fn)
+
+        configs = {
+            "conservative": GPMPCConfig(
+                base=RTIConfig(
+                    N=20, accept_pri_tol=5e-3, condensed=True,
+                    admm=ADMMConfig(max_iter=100, check_interval=25,
+                                    polish=False, adaptive_rho=False,
+                                    scaling=3)),
+                scp_iterations=2, tighten=True),
+            "realtime": GPMPCConfig(
+                base=RTIConfig(
+                    N=20, accept_pri_tol=1e-2, condensed=True,
+                    admm=ADMMConfig(max_iter=100, check_interval=50,
+                                    polish=False, adaptive_rho=False,
+                                    scaling=3, infeas_certs=False)),
+                scp_iterations=1, tighten=True, rollout_gp_tape=True),
+        }
+        results = {}
+        for label, cfg in configs.items():
+            ref_fn = lambda x0: cubic_descent_reference(x0, xT, 100, dt)
+            cinit, cstep = make_gp_mpc_controller(
+                F, mean_fn, var_fn, cfg, xT,
+                reference_fn=ref_fn, ref_horizon=130)
+
+            @jax.jit
+            def run(x, cinit=cinit, cstep=cstep):
+                cstate = cinit(x)
+
+                def body(carry, k):
+                    x, cstate, landed = carry
+                    u, cstate = cstep(cstate, x, k)
+                    xn = jnp.where(landed, x, F_true(x, u))
+                    return (xn, cstate, landed | (xn[1] < 0.1)), None
+
+                (xf, _, landed), _ = jax.lax.scan(
+                    body, (x, cstate, jnp.asarray(False)), jnp.arange(130))
+                return xf, landed
+
+            x0s = jnp.tile(jnp.array([2.0, 30.0, 0.5, -0.5, -3.0, 0.0, 0.0]),
+                           (2, 1))
+            x0s = x0s.at[:, 1].add(jnp.array([-3.0, 3.0]))
+            xf, landed = jax.vmap(run)(x0s)
+            assert bool(landed.all()), label
+            v = np.linalg.norm(np.asarray(xf)[:, 4:7], axis=1)
+            assert float(v.max()) < 1.0, label
+            perr = np.linalg.norm(np.asarray(xf)[:, 2:4], axis=1)
+            assert float(perr.max()) < 0.5, label
+            results[label] = np.asarray(xf)
+        # the two configurations reach the same touchdowns to within the
+        # inexact-iteration noise that accumulates over ~100 cycles
+        np.testing.assert_allclose(
+            results["realtime"], results["conservative"], atol=0.25)
+
 
 class TestGPMPC6DoF:
     """6-DoF GP-MPC: the StructuredRocketGP residual model in the 14-state

@@ -402,3 +402,42 @@ class TestWarmKKT:
         # touchdown states agree closely between the two factorization paths
         np.testing.assert_allclose(
             results[True]["x_final"], results[False]["x_final"], atol=0.05)
+
+    def test_condensed_warm_kkt_matches_cholesky_path_closed_loop(self):
+        """warm_kkt composed with the condensed QP (the bench configuration's
+        factorization eliminator): at tight tolerance (polish, no early
+        acceptance) the NS-refreshed (N·n_u)² inverse under the frozen
+        init-time Ruiz scaling reproduces the per-cycle Cholesky condensed
+        path's landings EXACTLY — both drive the ADMM to the same QP optimum,
+        so the inexact-KKT machinery cancels out. (At real-time budgets the
+        two take different-but-equally-valid inexact paths; quality there is
+        covered by the demo/bench configs.)"""
+        from gpmpc_tpu.ops.qp import ADMMConfig
+
+        p = Rocket3DoFParams()
+        xT = jnp.zeros(7).at[0].set(2.0)
+        x0s = jnp.tile(jnp.array([2.0, 30.0, 0.0, 0.0, -3.0, 0.0, 0.0]), (4, 1))
+        x0s = x0s.at[:, 1].add(jnp.linspace(-3, 3, 4)).at[:, 2].add(
+            jnp.linspace(-1, 1, 4))
+        results = {}
+        for warm in (False, True):
+            cfg = RTIConfig(
+                N=20, warm_kkt=warm, condensed=True, accept_pri_tol=0.0,
+                admm=ADMMConfig(max_iter=250, polish=True,
+                                adaptive_rho=False, scaling=3, ns_iters=8))
+            F = lambda x, u: r3.step(p, x, u, cfg.dt)
+
+            def run_one(x, cfg=cfg, F=F):
+                Xr = pad_reference(
+                    cubic_descent_reference(x, xT, 100, cfg.dt), cfg.N + 20)
+                return rti_closed_loop(F, cfg, x, xT, 110, X_ref_full=Xr)
+
+            out = jax.jit(jax.vmap(run_one))(x0s)
+            results[warm] = out
+        for warm, out in results.items():
+            assert bool(out["landed"].all()), f"warm={warm}"
+            v = jax.vmap(jnp.linalg.norm)(out["x_final"][:, 4:7])
+            assert float(v.max()) < 1.0, f"warm={warm}"
+            assert float(out["solver_success"].mean()) > 0.99, f"warm={warm}"
+        np.testing.assert_allclose(
+            results[True]["x_final"], results[False]["x_final"], atol=1e-5)
