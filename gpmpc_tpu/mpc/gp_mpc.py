@@ -184,6 +184,16 @@ def gp_mpc_solve(
             backoff = jnp.minimum(backoff, 0.4 * width)
             if config.tighten_mask is None:
                 tmask = jnp.ones(n_x, X_lin.dtype).at[0].set(0.0).at[1].set(0.0)
+                if n_x == 14:
+                    # canonical 6-DoF layout [m, r, v, q, ω]: never back off
+                    # the quaternion coordinate box — attitude uncertainty
+                    # belongs in the tilt/rate path constraints (the
+                    # reference tightens thrust/glideslope/tilt, never state
+                    # coordinates, constraints.py:427-509). A q-box back-off
+                    # of ~|q| makes the whole QP infeasible and every solve
+                    # gets rejected once the GP variance grows off-data.
+                    tmask = tmask.at[7].set(0.0).at[8].set(0.0)
+                    tmask = tmask.at[9].set(0.0).at[10].set(0.0)
             else:
                 tmask = config.tighten_mask.astype(X_lin.dtype)
             backoff = backoff * tmask[None, :]

@@ -422,6 +422,76 @@ class TestGPMPC6DoF:
         assert float(jnp.trace(sol.Sigmas[-1])) > 0
 
 
+class TestGPMPC6DoFTightening:
+    @pytest.mark.slow
+    def test_high_variance_gp_keeps_qps_feasible(self):
+        """Regression: the default tighten mask must exclude the quaternion
+        coordinate box (indices 7-10 of the canonical 14-state layout). A
+        coverage-limited GP's variance grows off-data, and a q-box back-off
+        of ~|q| makes every subproblem infeasible — measured as the solver
+        acceptance rate collapsing from 1.0 to 0.0 within 5 receding steps
+        before the fix."""
+        from gpmpc_tpu.dynamics import Rocket6DoFParams, rocket6dof as r6
+        from gpmpc_tpu.gp import (
+            ResidualCollector, StructuredGPConfig, StructuredRocketGP)
+        from gpmpc_tpu.mpc import GPMPCConfig, gp_mpc_init, gp_mpc_solve
+        from gpmpc_tpu.mpc.rti6dof import rti_config_6dof
+        from gpmpc_tpu.ops.qp import ADMMConfig
+        from gpmpc_tpu.reference import cubic_descent_reference
+
+        p = Rocket6DoFParams()
+        base = rti_config_6dof(
+            p, N=15,
+            admm=ADMMConfig(max_iter=100, polish=False,
+                            adaptive_rho=False, scaling=3),
+        ).replace(accept_pri_tol=1e-2, condensed=True)
+        cfg = GPMPCConfig(base=base, scp_iterations=2, tighten=True)
+        dt = base.dt
+        F = lambda x, u: r6.step(p, x, u, dt)
+        p_true = p.replace(rho=0.8, C_A=0.05 * jnp.eye(3))
+        F_true = lambda x, u: r6.step(p_true, x, u, dt)
+
+        # deliberately tiny GP: large predictive variance away from its data
+        key = jax.random.PRNGKey(0)
+
+        def explore(x, k):
+            u = r6.clamp_thrust(
+                p, r6.hover_thrust(p, x)
+                + 0.1 * jax.random.normal(jax.random.fold_in(key, k), (3,)))
+            return F_true(x, u), (x, u, F_true(x, u))
+
+        x_start = r6.create_initial_state(
+            p, altitude=18.0, velocity=(-2.0, 0.2, -0.1))
+        _, (X, U, Xn) = jax.lax.scan(explore, x_start, jnp.arange(48))
+        res = ResidualCollector(dt=dt).collect_batch(F, X, U, Xn)
+        gp = StructuredRocketGP.create(
+            StructuredGPConfig(max_data_points=48, n_inducing=12))
+        gp = gp.add_data_batch(X, U, res).fit(jax.random.PRNGKey(1))
+        mean_fn = lambda x, u: StructuredRocketGP.lift_residual(
+            gp.predict_gated(x, u)[0], 14)
+        var_fn = lambda x, u: gp.predict(x, u)[1]
+
+        xT = r6.create_initial_state(p, altitude=0.0)
+        x0 = r6.create_initial_state(
+            p, altitude=20.0, horizontal=(0.3, -0.3), velocity=(-2.0, 0.1, -0.1))
+        st = gp_mpc_init(cfg, x0, xT)
+        Xr = cubic_descent_reference(x0, xT, 100, dt)
+
+        @jax.jit
+        def stp(st, x, k):
+            st = st.replace(
+                x_ref=jax.lax.dynamic_slice_in_dim(Xr, k, 16, axis=0))
+            sol, st = gp_mpc_solve(F, mean_fn, var_fn, cfg, st, x)
+            return st, F_true(x, sol.u0), sol.success
+
+        x = x0
+        oks = []
+        for k in range(10):
+            st, x, ok = stp(st, x, jnp.asarray(k, jnp.int32))
+            oks.append(bool(ok))
+        assert np.mean(oks) > 0.9, oks
+
+
 class TestGPMPC6DoFWind:
     """6-DoF closed loop under steady wind + light aero: the MLE-tuned
     residual GP must cut touchdown error far below nominal-model feedback
