@@ -156,6 +156,31 @@ def main():
     rti_cycle_ms = timed_window(rti_window, rti_states, x0s)
     rti_sps_chip = BATCH * 1000.0 / rti_cycle_ms / n_chips
 
+    # ---- GP posterior latency (the reference's <5 ms budget, fast_gp.py) ----
+    # mean+variance at every knot of every scenario, exactly as evaluated
+    # inside the control cycle: BATCH×N posteriors per dispatch
+    Xq = jnp.tile(x0s[:, None, :], (1, N, 1)).reshape(-1, 7)
+    Uq = jnp.tile(jnp.array([2.0, 0.0, 0.0]), (Xq.shape[0], 1))
+
+    @jax.jit
+    def gp_eval(Xq, Uq):
+        def one(x, u):
+            return mean_fn(x, u), var_fn(x, u)
+
+        def body(carry, _):
+            m, v = jax.vmap(one)(Xq + 1e-9 * carry, Uq)
+            return carry + jnp.mean(m[:, 4]), (jnp.sum(m), jnp.sum(v))
+
+        acc, _ = jax.lax.scan(body, jnp.asarray(0.0), None, length=STEPS)
+        return acc
+
+    _ = float(jax.device_get(gp_eval(Xq, Uq)))
+    t0 = time.time()
+    for _i in range(N_WINDOWS):
+        _ = float(jax.device_get(gp_eval(Xq, Uq)))
+    gp_batch_ms = (time.time() - t0) / (STEPS * N_WINDOWS) * 1e3
+    gp_us_per_posterior = gp_batch_ms * 1e3 / (BATCH * N)
+
     result = {
         "metric": (
             f"GP-MPC solves/sec/chip (N={N}, batch={BATCH}, {SCP_ITERS} SCP "
@@ -174,6 +199,10 @@ def main():
             "rti_cycle_wall_ms": round(rti_cycle_ms, 2),
             "rti_meets_50hz_in_lockstep": rti_cycle_ms < 20.0,
             "budget_ms": 20.0,
+            # the reference's GP budget: <5 ms per prediction (fast_gp.py:12)
+            "gp_posterior_mean_var_us": round(gp_us_per_posterior, 3),
+            "gp_posteriors_per_cycle": BATCH * N,
+            "gp_eval_batch_ms": round(gp_batch_ms, 3),
         },
     }
     print(json.dumps(result))
