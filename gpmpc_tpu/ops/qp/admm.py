@@ -82,9 +82,13 @@ class ADMMConfig:
     polish: bool = struct.field(pytree_node=False, default=False)
     polish_delta: float = 1e-4
     polish_refine_iters: int = struct.field(pytree_node=False, default=6)
-    # run the iteration chunks as the Pallas VMEM-resident kernel:
-    # "auto" = on TPU backends, "on"/"off" force it (off on CPU tests; the
-    # kernel is bit-compatible with the jnp path — see tests/test_pallas.py)
+    # run the iteration chunks as a Pallas VMEM-resident kernel:
+    # "auto" = one-lane kernel on TPU backends, "on"/"off" force it (off on
+    # CPU tests; bit-compatible with the jnp path — see tests/test_pallas.py).
+    # "lanes" = the multi-lane kernel (L lanes resident per grid cell, VPU
+    # multiply-reduce matvecs) — requires the solve to be vmapped over a
+    # lane batch; reduction order differs from the jnp path (allclose, not
+    # bitwise). "lanes_interpret" runs it in interpreter mode (CPU tests).
     use_pallas: str = struct.field(pytree_node=False, default="auto")
     # compute primal/dual infeasibility certificates at every check (OSQP's
     # δx/δy tests). Off in real-time configs: the certificates cost ~as much
@@ -343,6 +347,16 @@ def solve(
     else:
         pallas_iters = False
 
+    lanes_chunk = None
+    if cfg.use_pallas in ("lanes", "lanes_interpret"):
+        from ..pallas.admm_kernel import make_admm_chunk_lanes
+
+        pallas_iters = False
+        lanes_chunk = make_admm_chunk_lanes(
+            cfg.check_interval, cfg.sigma, cfg.alpha,
+            interpret=cfg.use_pallas == "lanes_interpret",
+        )
+
     def make_chunk(allow_refactor: bool):
         def chunk(state, _):
             return _chunk_body(state, allow_refactor)
@@ -353,7 +367,9 @@ def solve(
         x, z, y, rho_v, L, rho, it, done, status, _, _ = state
         x_prev, y_prev = x, y
 
-        if pallas_iters:
+        if lanes_chunk is not None:
+            x_n, z_n, y_n = lanes_chunk(L, A, q, l, u, rho_v, x, z, y)
+        elif pallas_iters:
             from ..pallas.admm_kernel import admm_chunk
 
             x_n, z_n, y_n = admm_chunk(

@@ -2,7 +2,7 @@
 """Compare GP-MPC cycle variants on the live backend (bench.py methodology).
 
 Usage: python scripts/bench_gpmpc_variants.py [BATCH] [STEPS] [variant ...]
-Variants: base, fs, fs_tape, fs_tape_50, fs_tape_75, fs_tape_bf16
+Variants: see VARIANTS dict (base, tape*, 1x100_nf flagship, 1x100_lanes*)
 """
 
 import sys
@@ -22,7 +22,7 @@ from gpmpc_tpu.ops.qp import ADMMConfig
 N = 20
 BATCH = int(sys.argv[1]) if len(sys.argv) > 1 else 512
 STEPS = int(sys.argv[2]) if len(sys.argv) > 2 else 10
-WHICH = sys.argv[3:] or ["base", "fs_tape", "fs_tape_50", "fs_tape_75"]
+WHICH = sys.argv[3:] or ["base", "1x100_nf", "1x100_lanes"]
 WINDOWS = 3
 
 p = Rocket3DoFParams()
@@ -56,34 +56,34 @@ mean_fn = lambda x, u: Simple3DoFGP.lift_residual(gp.predict_gated(x, u)[0], 7)
 var_fn = lambda x, u: gp.predict(x, u)[1]
 
 
-def mk(mi, ci, apt, fs, tape, mv="f32", scp=2, certs=True):
+def mk(mi, ci, apt, tape, mv="f32", scp=2, certs=True, pallas="off"):
     return GPMPCConfig(
         base=RTIConfig(
             N=N, accept_pri_tol=apt, condensed=True,
             admm=ADMMConfig(max_iter=mi, check_interval=ci, polish=False,
-                            adaptive_rho=False, scaling=3, use_pallas="off",
+                            adaptive_rho=False, scaling=3, use_pallas=pallas,
                             matvec_dtype=mv, infeas_certs=certs),
         ),
-        scp_iterations=scp, tighten=True,
-        freeze_scaling=fs, rollout_gp_tape=tape,
+        scp_iterations=scp, tighten=True, rollout_gp_tape=tape,
     )
 
 
 VARIANTS = {
-    "base": mk(100, 25, 5e-3, False, False),
-    "fs": mk(100, 25, 5e-3, True, False),
-    "fs_tape": mk(100, 50, 5e-3, True, True),
-    "fs_tape_50": mk(50, 50, 1e-2, True, True),
-    "fs_tape_75": mk(75, 25, 1e-2, True, True),
-    "fs_tape_bf16": mk(100, 50, 2e-2, True, True, "bf16"),
-    "2x50_nc": mk(50, 50, 1e-2, True, True, certs=False),
-    "1x100_nc": mk(100, 50, 1e-2, True, True, scp=1, certs=False),
-    "1x150_nc": mk(150, 50, 1e-2, True, True, scp=1, certs=False),
-    # fresh Ruiz per subproblem (no frozen preconditioner): the equilibration
-    # is cheap on TPU; freezing it was measured to trade robustness for ~0
-    "1x100_nf": mk(100, 50, 1e-2, False, True, scp=1, certs=False),
-    "1x150_nf": mk(150, 50, 1e-2, False, True, scp=1, certs=False),
-    "2x50_nf": mk(50, 50, 1e-2, False, True, certs=False),
+    "base": mk(100, 25, 5e-3, False),
+    "tape": mk(100, 50, 5e-3, True),
+    "tape_50": mk(50, 50, 1e-2, True),
+    "tape_75": mk(75, 25, 1e-2, True),
+    "tape_bf16": mk(100, 50, 2e-2, True, "bf16"),
+    "2x50_nc": mk(50, 50, 1e-2, True, certs=False),
+    # the flagship bench config
+    "1x100_nf": mk(100, 50, 1e-2, True, scp=1, certs=False),
+    "1x150_nf": mk(150, 50, 1e-2, True, scp=1, certs=False),
+    "2x50_nf": mk(50, 50, 1e-2, True, certs=False),
+    # multi-lane VMEM-resident Pallas chunks (L lanes per grid cell)
+    "1x100_lanes": mk(100, 50, 1e-2, True, scp=1, certs=False,
+                      pallas="lanes"),
+    "1x100_lanes25": mk(100, 25, 1e-2, True, scp=1, certs=False,
+                        pallas="lanes"),
 }
 
 x0s = jnp.tile(jnp.array([2.0, 30.0, 0.0, 0.0, -3.0, 0.0, 0.0]), (BATCH, 1))
@@ -91,12 +91,11 @@ x0s = x0s.at[:, 1].add(jnp.linspace(0.0, 5.0, BATCH))
 
 for name in WHICH:
     cfg = VARIANTS[name]
-    needs = cfg.warm_kkt or cfg.freeze_scaling
     states = jax.vmap(
         lambda x: gp_mpc_init(
             cfg, x, xT,
-            step_fn=F if needs else None,
-            gp_mean_fn=mean_fn if needs else None,
+            step_fn=F if cfg.warm_kkt else None,
+            gp_mean_fn=mean_fn if cfg.warm_kkt else None,
         )
     )(x0s)
 

@@ -69,6 +69,58 @@ class TestADMMChunkKernel:
             xr, zr, yr = _reference_iters(data, Mi, rv, x0, z0, y0, 5)
             np.testing.assert_allclose(xb[i], xr, atol=3e-4)
 
+    def test_lanes_kernel_matches_jnp_path(self, rng):
+        """Multi-lane VMEM-resident kernel (interpret mode): a vmapped batch
+        of chunks matches the per-lane jnp reference to reduce-order noise."""
+        from gpmpc_tpu.ops.pallas.admm_kernel import make_admm_chunk_lanes
+
+        datas = [_setup(np.random.default_rng(s)) for s in range(4)]
+        Minv = jnp.stack([d[1] for d in datas])
+        Am = jnp.stack([d[0].A for d in datas])
+        q = jnp.stack([d[0].q for d in datas])
+        l = jnp.stack([d[0].l for d in datas])
+        u = jnp.stack([d[0].u for d in datas])
+        rho = jnp.stack([d[2] for d in datas])
+        x = jnp.stack([d[3] for d in datas])
+        z = jnp.stack([d[4] for d in datas])
+        y = jnp.stack([d[5] for d in datas])
+        chunk = make_admm_chunk_lanes(8, 1e-6, 1.6, interpret=True)
+        # unbatched call = plain jnp fallback
+        x1, z1, y1 = chunk(Minv[0], Am[0], q[0], l[0], u[0], rho[0],
+                           x[0], z[0], y[0])
+        xr, zr, yr = _reference_iters(datas[0][0], Minv[0], rho[0],
+                                      x[0], z[0], y[0], 8)
+        np.testing.assert_allclose(x1, xr, atol=3e-4)
+        # vmapped call = the multi-lane Pallas kernel
+        xb, zb, yb = jax.jit(jax.vmap(chunk))(Minv, Am, q, l, u, rho, x, z, y)
+        for i, (data, Mi, rv, x0, z0, y0) in enumerate(datas):
+            xi, zi, yi = _reference_iters(data, Mi, rv, x0, z0, y0, 8)
+            np.testing.assert_allclose(xb[i], xi, atol=3e-4)
+            np.testing.assert_allclose(zb[i], zi, atol=3e-4)
+            np.testing.assert_allclose(yb[i], yi, atol=2e-3)
+
+    def test_solver_lanes_mode_matches_off(self, rng):
+        """solve(use_pallas='lanes_interpret') under vmap matches the jnp
+        path per lane."""
+        import sys
+        sys.path.insert(0, "tests")
+        from test_qp import random_qp
+
+        datas = [random_qp(np.random.default_rng(s)) for s in range(4)]
+        batch = QPData(
+            P=jnp.stack([d.P for d in datas]),
+            q=jnp.stack([d.q for d in datas]),
+            A=jnp.stack([d.A for d in datas]),
+            l=jnp.stack([d.l for d in datas]),
+            u=jnp.stack([d.u for d in datas]),
+        )
+        cfg_off = A.ADMMConfig(max_iter=100, use_pallas="off")
+        cfg_ln = A.ADMMConfig(max_iter=100, use_pallas="lanes_interpret")
+        sol_off = jax.vmap(lambda d: A.solve(d, config=cfg_off))(batch)
+        sol_ln = jax.vmap(lambda d: A.solve(d, config=cfg_ln))(batch)
+        np.testing.assert_allclose(sol_ln.x, sol_off.x, atol=5e-4)
+        np.testing.assert_array_equal(sol_ln.status, sol_off.status)
+
     def test_solver_pallas_on_equals_off(self, rng):
         """Full solve with the kernel (interpret mode) matches the jnp path."""
         import sys
