@@ -36,6 +36,7 @@ from .online_learner import (
 from .pretrain import (
     collect_residuals_3dof,
     collect_residuals_6dof,
+    explore_gp_3dof,
     pretrain_gp_3dof,
     pretrain_gp_6dof,
 )
@@ -58,6 +59,7 @@ __all__ = [
     "TransitionStore",
     "collect_residuals_3dof",
     "collect_residuals_6dof",
+    "explore_gp_3dof",
     "compute_residual",
     "pretrain_gp_3dof",
     "pretrain_gp_6dof",

@@ -142,6 +142,49 @@ def pretrain_gp_3dof(
     return gp, mean_fn, var_fn
 
 
+def explore_gp_3dof(
+    key_explore: Array, key_fit: Array, p_nom,
+    true_step_fn: Callable[[Array, Array], Array],
+    dt: float = 0.1, n_points: int = 128, n_inducing: int = 48,
+) -> Tuple[Simple3DoFGP, Callable, Callable]:
+    """Cheap scan-exploration GP fit — the bench/profiler setup.
+
+    A single ``lax.scan`` of randomized hover-thrust excitation on the true
+    plant (resetting when the altitude drops), fit with no hyperparameter
+    tuning. Compile cost matters in the benches; prediction quality does not
+    beyond capturing the residual trend — the episode-based
+    :func:`pretrain_gp_3dof` is the production path. Returns
+    ``(gp, mean_fn, var_fn)`` shaped for ``gp_mpc_solve``.
+    """
+    F_nom = lambda x, u: r3.step(p_nom, x, u, dt)
+
+    def explore(x, k):
+        u = r3.clamp_thrust(
+            p_nom,
+            r3.hover_thrust(p_nom, x)
+            + 0.3 * jax.random.normal(jax.random.fold_in(key_explore, k), (3,)),
+        )
+        xn = true_step_fn(x, u)
+        x_out = jnp.where(
+            xn[1] > 0.5, xn,
+            jnp.array([2.0, 25.0, -1.0, 2.0, -4.0, -0.5, 0.1]),
+        )
+        return x_out, (x, u, xn)
+
+    x_start = jnp.array([2.0, 30.0, 1.0, -1.0, -3.0, 0.5, 0.2])
+    _, (X, U, Xn) = jax.lax.scan(explore, x_start, jnp.arange(n_points))
+    res = ResidualCollector(dt=dt).collect_batch(F_nom, X, U, Xn)
+    gp = Simple3DoFGP.create(
+        StructuredGPConfig(max_data_points=n_points, n_inducing=n_inducing)
+    )
+    gp = gp.add_data_batch(X, U, res).fit(key_fit)
+    mean_fn = lambda x, u: Simple3DoFGP.lift_residual(
+        gp.predict_gated(x, u)[0], 7
+    )
+    var_fn = lambda x, u: gp.predict(x, u)[1]
+    return gp, mean_fn, var_fn
+
+
 def collect_residuals_6dof(
     key: Array, p_nom, true_step_fn: Callable[[Array, Array], Array],
     dt: float = 0.1, n_episodes: int = 4, episode_len: int = 64,

@@ -389,6 +389,10 @@ def rti_feedback(
     new_state = state.replace(
         X_lin=X_opt, U_lin=U_opt, X_prev=X_shift, U_prev=U_shift,
         y_prev=jnp.where(ok, sol.y, state.y_prev), rho=sol.rho,
+        # carry the NS-refreshed inverse like rti_step does — refreshing from
+        # the stale init-time factorization every cycle would silently lose
+        # the KKT chain once the trajectory drifts
+        **({"kkt_inv": sol.kkt_inv} if config.warm_kkt else {}),
     )
     return (
         RTISolution(

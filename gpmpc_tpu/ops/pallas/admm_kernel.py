@@ -169,10 +169,19 @@ def _lanes_kernel(
     yo_ref[:] = y
 
 
-def _pick_lanes(batch: int, max_lanes: int = 16) -> int:
-    """Largest divisor of ``batch`` that is ≤ max_lanes (VMEM budget:
-    L=16 holds both A layouts + M⁻¹ + vectors in ~3.5 MB/cell)."""
-    for cand in range(min(max_lanes, batch), 0, -1):
+def _pick_lanes(batch: int, m: int, n: int, max_lanes: int = 16,
+                vmem_budget: int = 8 * 2**20) -> int:
+    """Largest divisor of ``batch`` ≤ max_lanes whose per-cell VMEM footprint
+    (both A layouts + M⁻¹ + ~10 (m|n)-vectors, last dim padded to the 128-lane
+    tile) fits the budget — half of a v5e core's ~16 MB, leaving room for the
+    loop temporaries. The condensed shape (m=200, n=60) admits L=16
+    (~3.5 MB); the sparse shape (m=354, n=207) drops to L≈4."""
+    pad = lambda k: -(-k // 128) * 128
+    per_lane = 4 * (
+        m * pad(n) + n * pad(m) + n * pad(n) + 6 * pad(m) + 4 * pad(n)
+    )
+    cap = max(1, min(max_lanes, vmem_budget // max(per_lane, 1)))
+    for cand in range(min(cap, batch), 0, -1):
         if batch % cand == 0:
             return cand
     return 1
@@ -182,7 +191,7 @@ def _lanes_call(Minv, A, q, l, u, rho_v, x, z, y, iters, sigma, alpha,
                 interpret=False):
     """Batched entry: every argument carries a leading lane axis B."""
     B, m, n = A.shape
-    L = _pick_lanes(B)
+    L = _pick_lanes(B, m, n)
     kernel = functools.partial(
         _lanes_kernel, iters=iters, sigma=float(sigma), alpha=float(alpha)
     )

@@ -15,7 +15,7 @@ import jax
 import jax.numpy as jnp
 
 from gpmpc_tpu.dynamics import Rocket3DoFParams, rocket3dof as r3
-from gpmpc_tpu.gp import ResidualCollector, Simple3DoFGP, StructuredGPConfig
+from gpmpc_tpu.learning import explore_gp_3dof
 from gpmpc_tpu.mpc import GPMPCConfig, RTIConfig, gp_mpc_init, gp_mpc_solve
 from gpmpc_tpu.ops.qp import ADMMConfig
 
@@ -32,28 +32,9 @@ F = lambda x, u: r3.step(p, x, u, dt)
 F_true = lambda x, u: r3.step(p_true, x, u, dt)
 xT = jnp.zeros(7).at[0].set(2.0)
 
-key = jax.random.PRNGKey(0)
-
-
-def explore(x, k):
-    u = r3.clamp_thrust(
-        p, r3.hover_thrust(p, x)
-        + 0.3 * jax.random.normal(jax.random.fold_in(key, k), (3,))
-    )
-    xn = F_true(x, u)
-    x_out = jnp.where(xn[1] > 0.5, xn,
-                      jnp.array([2.0, 25.0, -1.0, 2.0, -4.0, -0.5, 0.1]))
-    return x_out, (x, u, xn)
-
-
-_, (Xd, Ud, Xnd) = jax.lax.scan(
-    explore, jnp.array([2.0, 30.0, 1.0, -1.0, -3.0, 0.5, 0.2]), jnp.arange(128)
+_, mean_fn, var_fn = explore_gp_3dof(
+    jax.random.PRNGKey(0), jax.random.PRNGKey(1), p, F_true, dt=dt
 )
-res = ResidualCollector(dt=dt).collect_batch(F, Xd, Ud, Xnd)
-gp = Simple3DoFGP.create(StructuredGPConfig(max_data_points=128, n_inducing=48))
-gp = gp.add_data_batch(Xd, Ud, res).fit(jax.random.PRNGKey(1))
-mean_fn = lambda x, u: Simple3DoFGP.lift_residual(gp.predict_gated(x, u)[0], 7)
-var_fn = lambda x, u: gp.predict(x, u)[1]
 
 
 def mk(mi, ci, apt, tape, mv="f32", scp=2, certs=True, pallas="off"):

@@ -43,6 +43,9 @@ def build_3dof(args, jax, jnp):
         admm=ADMMConfig(
             max_iter=100 if args.controller == "gp_mpc" else 50,
             polish=False, adaptive_rho=False, scaling=3,
+            # the one-lane Pallas kernel ("auto" on TPU) measures slower than
+            # the XLA path on the condensed shape — pin the benched config
+            use_pallas="off",
         ),
     )
     F = lambda x, u: r3.step(p, x, u, base.dt)
@@ -85,6 +88,7 @@ def build_6dof(args, jax, jnp):
         p, N=args.n,
         admm=ADMMConfig(
             max_iter=100, polish=False, adaptive_rho=False, scaling=3,
+            use_pallas="off",
         ),
         cone_facets=args.facets, glideslope_facets=args.facets,
     ).replace(accept_pri_tol=1e-2, condensed=not args.sparse)
@@ -205,6 +209,10 @@ def main() -> int:
     )
 
     chunk = args.chunk or args.batch
+    if args.batch % chunk != 0:
+        # a ragged tail slice would change the dispatch shape and put a jit
+        # recompile inside the timed window
+        raise SystemExit(f"--chunk {chunk} must divide --batch {args.batch}")
 
     def timed():
         # fetch a scalar to anchor the timing (block_until_ready does not
@@ -245,10 +253,17 @@ def main() -> int:
     }
     if args.safety_filter:
         # ablation row: the same ICs without the filter (VERDICT item 6 /
-        # reference monte_carlo.py:455-543 composition)
-        res_unf = jax.jit(
+        # reference monte_carlo.py:455-543 composition), chunked like the
+        # filtered arm so long dispatches stay under the relay watchdog
+        camp_unf = jax.jit(
             lambda xs: run_campaign(cinit_unf, cstep_unf, plant, xs, sim)
-        )(x0s)
+        )
+        parts_unf = []
+        for i in range(0, args.batch, chunk):
+            r = camp_unf(x0s[i : i + chunk])
+            float(jax.device_get(jnp.sum(r["outcome"])))
+            parts_unf.append(r)
+        res_unf = jax.tree.map(lambda *xs: jnp.concatenate(xs), *parts_unf)
         stats_unf = jax.device_get(campaign_statistics(res_unf))
         n_int = jax.device_get(res["n_interventions"])
         out["safety_filter"] = {

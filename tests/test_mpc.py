@@ -353,6 +353,38 @@ class TestRTIPhases:
         np.testing.assert_allclose(sol_a.u0, sol_b.u0, atol=1e-6)
         np.testing.assert_allclose(st_a.X_prev, st_b.X_prev, atol=1e-6)
 
+    def test_prepare_feedback_carries_warm_kkt(self):
+        """Regression: the split phases must carry the NS-refreshed KKT
+        inverse like the fused step does — a stale init-time inverse would
+        silently degrade every later cycle (found in review; rti_feedback
+        previously dropped sol.kkt_inv)."""
+        from gpmpc_tpu.mpc import rti_feedback, rti_prepare
+        from gpmpc_tpu.ops.qp import ADMMConfig
+
+        p = Rocket3DoFParams()
+        cfg = RTIConfig(
+            reanchor=False, warm_kkt=True, accept_pri_tol=5e-3,
+            admm=ADMMConfig(max_iter=50, polish=False, adaptive_rho=False,
+                            scaling=3))
+        F = lambda x, u: r3.step(p, x, u, cfg.dt)
+        x0 = jnp.array([2.0, 25.0, 0.3, 0.0, -3.0, 0.0, 0.0])
+        xT = jnp.zeros(7).at[0].set(2.0)
+        st = rti_init(cfg, x0, xT, step_fn=F)
+        x = x0
+        st_fused = st
+        for _ in range(3):
+            prepared = rti_prepare(F, cfg, st)
+            sol, st = rti_feedback(cfg, st, prepared, x)
+            sol_f, st_fused = rti_step(F, cfg, st_fused, x)
+            x = F(x, sol_f.u0)
+        # the split path refreshed its inverse each cycle, matching the
+        # fused path's carry (bitwise — same refresh chain)
+        np.testing.assert_allclose(st.kkt_inv, st_fused.kkt_inv, atol=0)
+        assert not np.allclose(
+            np.asarray(st.kkt_inv), np.asarray(
+                rti_init(cfg, x0, xT, step_fn=F).kkt_inv)
+        ), "inverse should have moved off the init-time factorization"
+
     def test_simple_rti_descends_cost(self):
         from gpmpc_tpu.mpc import simple_rti_step
 
