@@ -26,7 +26,7 @@ from ..ops.qp import SOLVED, build_mpc_qp, extend_qp, join_z, solve, split_z
 from ..ops.qp.admm import _factor, _rho_vec
 from ..ops.qp.condensed import build_condensed_qp, recover_states
 from ..ops.qp.ruiz import Scaling, ruiz_equilibrate
-from .rti import RTIConfig, _n_extra_rows, _stage_rows
+from .rti import RTIConfig, _condensed_admm_cfg, _n_extra_rows, _stage_rows
 from .uncertainty_prop import box_tightening, propagate_linear
 
 Array = jax.Array
@@ -212,7 +212,10 @@ def gp_mpc_solve(
                 Xlo, Xhi, Ulo, Uhi,
                 cfg.Gx, cfg.gx_l, cfg.gx_u, cfg.Gu, cfg.gu_l, cfg.gu_u,
             )
-            sol = solve(data, U_lin.reshape(-1), y_prev, cfg.admm, rho0=rho)
+            sol = solve(
+                data, U_lin.reshape(-1), y_prev, _condensed_admm_cfg(cfg),
+                rho0=rho,
+            )
             U_new = sol.x.reshape(N, n_u)
             X_new = recover_states(Gs, ds, sol.x, x0)
         else:

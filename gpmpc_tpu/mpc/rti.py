@@ -63,6 +63,18 @@ def _build_rti_qp(config, Aks, Bks, cks, x_current, x_ref):
     return data
 
 
+def _condensed_admm_cfg(config):
+    """ADMM config with the condensed QP's row structure declared: rows
+    [N·n_x, N·n_x + N·n_u) are the control-bound identity block (see
+    ops/qp/condensed.py row order) — the solver's iteration matvecs skip
+    streaming them. User-set identity_block wins."""
+    if config.admm.identity_block is not None:
+        return config.admm
+    return config.admm.replace(
+        identity_block=(config.N * config.n_x, config.N * config.n_u)
+    )
+
+
 def _solve_qp(config, state, Aks, Bks, cks, x_current, z0_XU, y0):
     """Solve one RTI subproblem in the configured formulation; returns
     (sol, X_sol, U_sol). ``z0_XU`` is the (X, U) primal warm start."""
@@ -76,16 +88,17 @@ def _solve_qp(config, state, Aks, Bks, cks, x_current, z0_XU, y0):
             config.Gx, config.gx_l, config.gx_u,
             config.Gu, config.gu_l, config.gu_u,
         )
+        admm = _condensed_admm_cfg(config)
         if config.warm_kkt:
             sol = solve(
-                data, U0.reshape(-1), y0, config.admm, rho0=state.rho,
+                data, U0.reshape(-1), y0, admm, rho0=state.rho,
                 fixed_scaling=Scaling(
                     D=state.scal_D, E=state.scal_E, c=state.scal_c
                 ),
                 kkt_inv0=state.kkt_inv,
             )
         else:
-            sol = solve(data, U0.reshape(-1), y0, config.admm, rho0=state.rho)
+            sol = solve(data, U0.reshape(-1), y0, admm, rho0=state.rho)
         U_sol = sol.x.reshape(N, config.n_u)
         X_sol = recover_states(Gs, ds, sol.x, x_current)
         return sol, X_sol, U_sol

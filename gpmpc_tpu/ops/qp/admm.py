@@ -90,6 +90,14 @@ class ADMMConfig:
     # lane batch; reduction order differs from the jnp path (allclose, not
     # bitwise). "lanes_interpret" runs it in interpreter mode (CPU tests).
     use_pallas: str = struct.field(pytree_node=False, default="auto")
+    # static promise that rows [off, off+sz) of A form an exact diagonal
+    # block (the condensed QP's control-bound identity rows, diag after Ruiz
+    # scaling). The iteration matvecs then skip streaming those n² mostly-
+    # zero entries — ~26% of the per-iteration HBM traffic on the condensed
+    # shape — replacing them with an elementwise multiply. None = dense.
+    identity_block: Optional[tuple] = struct.field(
+        pytree_node=False, default=None
+    )
     # compute primal/dual infeasibility certificates at every check (OSQP's
     # δx/δy tests). Off in real-time configs: the certificates cost ~as much
     # as the residual test itself (4 extra matvecs per check) and the
@@ -323,11 +331,33 @@ def solve(
                 preferred_element_type=jnp.float32,
             )
 
+        if cfg.identity_block is not None:
+            # split A = [A_top; diag(e); A_bot]: the diagonal rows cost an
+            # elementwise multiply instead of an n² stream per iteration
+            off, sz = cfg.identity_block
+            e_mid = jnp.diagonal(A[off : off + sz])  # f32 diag (exact)
+            A_top = A_mv[:off]
+            A_bot = A_mv[off + sz :]
+
+            def A_apply(v):
+                return jnp.concatenate(
+                    [mv(A_top, v), e_mid * v, mv(A_bot, v)]
+                )
+
+            def AT_apply(t):
+                out = mvT(A_top, t[:off]) + e_mid * t[off : off + sz]
+                if A_bot.shape[0]:
+                    out = out + mvT(A_bot, t[off + sz :])
+                return out
+        else:
+            A_apply = lambda v: mv(A_mv, v)
+            AT_apply = lambda t: mvT(A_mv, t)
+
         def one_iter(carry):
             x, z, y, rho_v = carry
-            rhs = cfg.sigma * x - q + mvT(A_mv, rho_v * z - y)
+            rhs = cfg.sigma * x - q + AT_apply(rho_v * z - y)
             x_t = mv(L_mv, rhs)
-            z_t = mv(A_mv, x_t)
+            z_t = A_apply(x_t)
             x_new = cfg.alpha * x_t + (1.0 - cfg.alpha) * x
             z_relax = cfg.alpha * z_t + (1.0 - cfg.alpha) * z
             z_new = jnp.clip(z_relax + y / rho_v, l, u)

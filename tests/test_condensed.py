@@ -119,6 +119,40 @@ class TestCondensedParity:
         (_, U_sp), (_, U_cd) = self._solve_both(ltv, with_facets=True)
         np.testing.assert_allclose(np.asarray(U_cd), np.asarray(U_sp), atol=5e-3)
 
+    @pytest.mark.parametrize("with_facets", [False, True])
+    def test_identity_block_structural_path(self, ltv, with_facets):
+        """ADMMConfig.identity_block (the control-bound rows declared as an
+        exact diagonal block so the iteration matvecs skip streaming them)
+        must reproduce the dense path's solution — same math, reordered
+        reductions only."""
+        Aks, Bks, cks, x0, cfg = ltv
+        N = cfg.N
+        x_ref = jnp.tile(jnp.zeros(7).at[0].set(2.0), (N + 1, 1))
+        facets = {}
+        if with_facets:
+            facets = dict(
+                Gu=jnp.array([[1.0, -0.3, 0.0], [1.0, 0.0, -0.3]]),
+                gu_l=jnp.zeros(2),
+                gu_u=jnp.full(2, 1e20),
+            )
+        cd, Gs, ds = build_condensed_qp(
+            Aks, Bks, cks, x0, cfg.Q, cfg.R, cfg.Qf, x_ref,
+            cfg.x_min, cfg.x_max, cfg.u_min, cfg.u_max, **facets,
+        )
+        # polish pins both runs to the same active-set KKT refit; the
+        # iteration paths differ only by f32 reduction order
+        base = ADMMConfig(max_iter=200, polish=True, adaptive_rho=False,
+                          scaling=3)
+        s_dense = jax.jit(lambda d: solve(d, config=base))(cd)
+        s_struct = jax.jit(
+            lambda d: solve(
+                d, config=base.replace(identity_block=(N * 7, N * 3))
+            )
+        )(cd)
+        np.testing.assert_allclose(
+            np.asarray(s_struct.x), np.asarray(s_dense.x), atol=1e-4)
+        assert int(s_struct.status) == int(s_dense.status)
+
 
 class TestCondensedClosedLoop:
     @pytest.mark.slow
