@@ -90,12 +90,23 @@ class ADMMConfig:
     # lane batch; reduction order differs from the jnp path (allclose, not
     # bitwise). "lanes_interpret" runs it in interpreter mode (CPU tests).
     use_pallas: str = struct.field(pytree_node=False, default="auto")
-    # static promise that rows [off, off+sz) of A form an exact diagonal
-    # block (the condensed QP's control-bound identity rows, diag after Ruiz
-    # scaling). The iteration matvecs then skip streaming those n² mostly-
-    # zero entries — ~26% of the per-iteration HBM traffic on the condensed
-    # shape — replacing them with an elementwise multiply. None = dense.
-    identity_block: Optional[tuple] = struct.field(
+    # static declaration of A's row structure, in row order: a tuple of
+    # segments, each one of
+    #   ("dense", n_rows)                    — no structure
+    #   ("diag", n_rows)                     — exact diagonal block spanning
+    #                                          all n columns (n_rows == n)
+    #   ("blt", n_blocks, blk_r, blk_c)      — block-lower-triangular: block
+    #                                          (i, j) nonzero only for j ≤ i
+    #   ("blockdiag", n_blocks, blk_r, blk_c) — block-diagonal (stage-local
+    #                                          rows, e.g. per-stage facets)
+    # Rows past the declared segments are treated dense. The iteration
+    # matvecs then stream only structural nonzeros (compacted once per
+    # solve), instead of the full m×n array twice per iteration — on the
+    # condensed MPC shape (BLT state rows ≈55% dense, identity control
+    # rows, block-diagonal control facets) this cuts the ADMM HBM traffic
+    # roughly in half. Diagonal scaling (Ruiz) preserves every declared
+    # zero, so the declaration survives equilibration. None = dense.
+    row_structure: Optional[tuple] = struct.field(
         pytree_node=False, default=None
     )
     # compute primal/dual infeasibility certificates at every check (OSQP's
@@ -113,6 +124,145 @@ class ADMMConfig:
     # to the XLA path only (the Pallas kernel keeps its matrices in VMEM
     # where bandwidth is not the bottleneck).
     matvec_dtype: str = struct.field(pytree_node=False, default="f32")
+
+
+def _compact_structure(A: Array, segs: tuple) -> tuple:
+    """Extract compact per-segment operands from the (scaled) dense A.
+
+    One-time copies costing ~one A-stream; the iteration matvecs then read
+    only structural nonzeros. Returns ops in row order; any rows past the
+    declared segments become a trailing dense segment.
+    """
+    m, n = A.shape
+    ops = []
+    r0 = 0
+    for seg in segs:
+        kind = seg[0]
+        if kind == "dense":
+            nr = seg[1]
+            ops.append(("dense", A[r0 : r0 + nr]))
+            r0 += nr
+        elif kind == "diag":
+            nr = seg[1]
+            if nr != n:
+                raise ValueError("diag segment must span all columns")
+            ops.append(("diag", jnp.diagonal(A[r0 : r0 + nr])))
+            r0 += nr
+        elif kind == "blt":
+            _, C, h, w = seg
+            blocks = tuple(
+                A[r0 + i * h : r0 + (i + 1) * h, : (i + 1) * w]
+                for i in range(C)
+            )
+            ops.append(("blt", blocks, C, h, w))
+            r0 += C * h
+        elif kind == "blockdiag":
+            _, nb, h, w = seg
+            if nb * w != n:
+                raise ValueError("blockdiag segment must tile all columns")
+            seg_A = A[r0 : r0 + nb * h].reshape(nb, h, nb, w)
+            idx = jnp.arange(nb)
+            ops.append(("blockdiag", seg_A[idx, :, idx, :]))  # (nb, h, w)
+            r0 += nb * h
+        else:
+            raise ValueError(f"unknown row-structure segment {kind!r}")
+    if r0 > m:
+        raise ValueError("row structure exceeds A's rows")
+    if r0 < m:
+        ops.append(("dense", A[r0:]))
+    return tuple(ops)
+
+
+def _cast_ops(ops: tuple, dtype) -> tuple:
+    """Cast the streamed matrix operands; diagonal factors stay f32 (their
+    stream is negligible and keeping them exact preserves the scaled bounds)."""
+    out = []
+    for op in ops:
+        if op[0] == "diag":
+            out.append(op)
+        elif op[0] == "blt":
+            out.append((op[0], tuple(b.astype(dtype) for b in op[1]), *op[2:]))
+        else:
+            out.append((op[0], op[1].astype(dtype)))
+    return tuple(out)
+
+
+def _make_A_ops(ops: tuple, n: int):
+    """(A_apply, AT_apply) from compacted structure ops. bf16 operands use
+    dot_general with f32 accumulation; iterates stay f32 throughout."""
+
+    def mv(M, v):  # M·v
+        if M.dtype != jnp.bfloat16:
+            return M @ v
+        return jax.lax.dot_general(
+            M, v.astype(M.dtype), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    def mvT(M, t):  # Mᵀ·t
+        if M.dtype != jnp.bfloat16:
+            return M.T @ t
+        return jax.lax.dot_general(
+            M, t.astype(M.dtype), (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    def bmv(Bd, V):  # (nb,h,w)·(nb,w) → (nb,h)
+        return jnp.einsum(
+            "kij,kj->ki", Bd, V.astype(Bd.dtype),
+            preferred_element_type=jnp.float32,
+        )
+
+    def bmvT(Bd, T):  # (nb,h,w)ᵀ·(nb,h) → (nb,w)
+        return jnp.einsum(
+            "kij,ki->kj", Bd, T.astype(Bd.dtype),
+            preferred_element_type=jnp.float32,
+        )
+
+    def A_apply(v):
+        outs = []
+        for op in ops:
+            kind = op[0]
+            if kind == "dense":
+                outs.append(mv(op[1], v))
+            elif kind == "diag":
+                outs.append(op[1] * v)
+            elif kind == "blt":
+                _, blocks, C, h, w = op
+                outs.extend(mv(blocks[i], v[: (i + 1) * w]) for i in range(C))
+            else:  # blockdiag
+                Bd = op[1]
+                nb, _, w = Bd.shape
+                outs.append(bmv(Bd, v.reshape(nb, w)).reshape(-1))
+        return jnp.concatenate(outs) if len(outs) > 1 else outs[0]
+
+    def AT_apply(t):
+        out = jnp.zeros(n, t.dtype)
+        r0 = 0
+        for op in ops:
+            kind = op[0]
+            if kind == "dense":
+                nr = op[1].shape[0]
+                out = out + mvT(op[1], t[r0 : r0 + nr])
+                r0 += nr
+            elif kind == "diag":
+                out = out + op[1] * t[r0 : r0 + n]
+                r0 += n
+            elif kind == "blt":
+                _, blocks, C, h, w = op
+                for i in range(C):
+                    out = out.at[: (i + 1) * w].add(
+                        mvT(blocks[i], t[r0 + i * h : r0 + (i + 1) * h])
+                    )
+                r0 += C * h
+            else:  # blockdiag
+                Bd = op[1]
+                nb, h, _ = Bd.shape
+                out = out + bmvT(Bd, t[r0 : r0 + nb * h].reshape(nb, h)).reshape(-1)
+                r0 += nb * h
+        return out
+
+    return A_apply, AT_apply
 
 
 def _rho_vec(l: Array, u: Array, rho: Array) -> Array:
@@ -312,51 +462,30 @@ def solve(
         )
         return r_prim, r_dual, prim_norm, dual_norm
 
-    def make_one_iter(A_mv, L_mv):
-        bf16 = A_mv.dtype == jnp.bfloat16
+    # structure-aware streamed operands, compacted once per solve (cost ≈ one
+    # A-stream, amortized over all iterations; see ADMMConfig.row_structure)
+    segs = cfg.row_structure if cfg.row_structure is not None else (("dense", m),)
+    ops_f32 = _compact_structure(A, segs)
+    ops_stream = (
+        _cast_ops(ops_f32, jnp.bfloat16) if cfg.matvec_dtype == "bf16"
+        else ops_f32
+    )
+    A_apply, AT_apply = _make_A_ops(ops_stream, n)
 
-        def mvT(M, v):  # Mᵀ·v
-            if not bf16:
-                return M.T @ v
-            return jax.lax.dot_general(
-                M, v.astype(M.dtype), (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-
-        def mv(M, v):  # M·v
-            if not bf16:
-                return M @ v
-            return jax.lax.dot_general(
-                M, v.astype(M.dtype), (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-
-        if cfg.identity_block is not None:
-            # split A = [A_top; diag(e); A_bot]: the diagonal rows cost an
-            # elementwise multiply instead of an n² stream per iteration
-            off, sz = cfg.identity_block
-            e_mid = jnp.diagonal(A[off : off + sz])  # f32 diag (exact)
-            A_top = A_mv[:off]
-            A_bot = A_mv[off + sz :]
-
-            def A_apply(v):
-                return jnp.concatenate(
-                    [mv(A_top, v), e_mid * v, mv(A_bot, v)]
+    def make_one_iter(L_mv):
+        if L_mv.dtype == jnp.bfloat16:
+            def L_apply(v):
+                return jax.lax.dot_general(
+                    L_mv, v.astype(L_mv.dtype), (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
                 )
-
-            def AT_apply(t):
-                out = mvT(A_top, t[:off]) + e_mid * t[off : off + sz]
-                if A_bot.shape[0]:
-                    out = out + mvT(A_bot, t[off + sz :])
-                return out
         else:
-            A_apply = lambda v: mv(A_mv, v)
-            AT_apply = lambda t: mvT(A_mv, t)
+            L_apply = lambda v: L_mv @ v
 
         def one_iter(carry):
             x, z, y, rho_v = carry
             rhs = cfg.sigma * x - q + AT_apply(rho_v * z - y)
-            x_t = mv(L_mv, rhs)
+            x_t = L_apply(rhs)
             z_t = A_apply(x_t)
             x_new = cfg.alpha * x_t + (1.0 - cfg.alpha) * x
             z_relax = cfg.alpha * z_t + (1.0 - cfg.alpha) * z
@@ -409,12 +538,11 @@ def solve(
         else:
             if cfg.matvec_dtype == "bf16":
                 # one cast per chunk (loop-invariant), halving the per-
-                # iteration HBM stream of the two big operands
-                one_iter = make_one_iter(
-                    A.astype(jnp.bfloat16), L.astype(jnp.bfloat16)
-                )
+                # iteration HBM stream of the KKT inverse (A's operands are
+                # cast once per solve above)
+                one_iter = make_one_iter(L.astype(jnp.bfloat16))
             else:
-                one_iter = make_one_iter(A, L)
+                one_iter = make_one_iter(L)
 
             def body(_, c):
                 xx, zz, yy = one_iter((c[0], c[1], c[2], rho_v))

@@ -120,34 +120,48 @@ class TestCondensedParity:
         np.testing.assert_allclose(np.asarray(U_cd), np.asarray(U_sp), atol=5e-3)
 
     @pytest.mark.parametrize("with_facets", [False, True])
-    def test_identity_block_structural_path(self, ltv, with_facets):
-        """ADMMConfig.identity_block (the control-bound rows declared as an
-        exact diagonal block so the iteration matvecs skip streaming them)
-        must reproduce the dense path's solution — same math, reordered
-        reductions only."""
+    def test_row_structure_structural_path(self, ltv, with_facets):
+        """ADMMConfig.row_structure (BLT state rows, diagonal control-bound
+        rows, block-diagonal control facets — the iteration matvecs stream
+        only structural nonzeros) must reproduce the dense path's solution —
+        same math, reordered reductions only."""
         Aks, Bks, cks, x0, cfg = ltv
         N = cfg.N
         x_ref = jnp.tile(jnp.zeros(7).at[0].set(2.0), (N + 1, 1))
         facets = {}
+        segs = [("blt", 5, (N // 5) * 7, (N // 5) * 3), ("diag", N * 3)]
         if with_facets:
             facets = dict(
                 Gu=jnp.array([[1.0, -0.3, 0.0], [1.0, 0.0, -0.3]]),
                 gu_l=jnp.zeros(2),
                 gu_u=jnp.full(2, 1e20),
             )
+            segs.append(("blockdiag", N, 2, 3))
         cd, Gs, ds = build_condensed_qp(
             Aks, Bks, cks, x0, cfg.Q, cfg.R, cfg.Qf, x_ref,
             cfg.x_min, cfg.x_max, cfg.u_min, cfg.u_max, **facets,
         )
+        # the declared segments must actually match the built A's zeros:
+        # rebuilding A from the compacted operands reproduces it exactly
+        from gpmpc_tpu.ops.qp.admm import _compact_structure, _make_A_ops
+
+        ops = _compact_structure(cd.A, tuple(segs))
+        A_apply, AT_apply = _make_A_ops(ops, cd.n)
+        for j in range(0, cd.n, 7):  # probe columns of the rebuilt operator
+            e = jnp.zeros(cd.n).at[j].set(1.0)
+            np.testing.assert_allclose(
+                np.asarray(A_apply(e)), np.asarray(cd.A @ e), atol=1e-6)
+            np.testing.assert_allclose(
+                np.asarray(AT_apply(cd.A @ e)),
+                np.asarray(cd.A.T @ (cd.A @ e)), atol=1e-5)
+
         # polish pins both runs to the same active-set KKT refit; the
         # iteration paths differ only by f32 reduction order
         base = ADMMConfig(max_iter=200, polish=True, adaptive_rho=False,
                           scaling=3)
         s_dense = jax.jit(lambda d: solve(d, config=base))(cd)
         s_struct = jax.jit(
-            lambda d: solve(
-                d, config=base.replace(identity_block=(N * 7, N * 3))
-            )
+            lambda d: solve(d, config=base.replace(row_structure=tuple(segs)))
         )(cd)
         np.testing.assert_allclose(
             np.asarray(s_struct.x), np.asarray(s_dense.x), atol=1e-4)
