@@ -34,6 +34,7 @@ from ..ops.qp import (
     solve,
     split_z,
 )
+from ..ops.qp.condensed import build_condensed_qp, recover_states
 from ..terminal.convex_hull import hull_constraint_rows
 from ..terminal.local_safe_set import knn_query
 from ..terminal.safe_set import SafeSet
@@ -69,11 +70,25 @@ class LMPCConfig:
     )
     u_min: Array = struct.field(default_factory=lambda: jnp.array([0.3, -5.0, -5.0]))
     u_max: Array = struct.field(default_factory=lambda: jnp.array([5.0, 5.0, 5.0]))
+    # the near-LP λ block converges primal-first and needs (a) ρ-adaptation
+    # room across many chunks (16 chunks stall at ~1e-2 primal / ~30 dual)
+    # and (b) a fully-equilibrated condensed operator (GᵀWG + span-scaled
+    # λ/slack diag spans orders of magnitude; 10 Ruiz sweeps leave the QP
+    # marginal, 20 reach SOLVED in ~550 iterations). The condensed form's
+    # structured matvecs make the larger budget cheaper than the old sparse
+    # 400-iteration config.
     admm: ADMMConfig = struct.field(
-        default_factory=lambda: ADMMConfig(max_iter=400, polish=True, rho_adapt_chunks=16)
+        default_factory=lambda: ADMMConfig(
+            max_iter=800, polish=True, rho_adapt_chunks=32, scaling=20
+        )
     )
     m_dry: float = 1.0
     fuel_margin: float = 0.0
+    # condensed form: states eliminated via X = G·U + d, z = [U; λ; s]
+    # (~4.5× fewer variables at N=15, ~17× less ADMM matvec traffic with the
+    # row structure declared) — the same QP, solution-parity-tested against
+    # the sparse z=[X;U;λ;s] form
+    condensed: bool = struct.field(pytree_node=False, default=True)
 
 
 class LMPCSolution(NamedTuple):
@@ -86,6 +101,9 @@ class LMPCSolution(NamedTuple):
     terminal_q: Array
     success: Array
     slack_norm: Array
+    # solver diagnostics (the reference logs solve stats on every solution)
+    qp_status: Array
+    qp_pri_res: Array
 
 
 @struct.dataclass
@@ -140,41 +158,99 @@ def lmpc_solve(
     Aks, Bks, cks = trajectory_jacobians(step_fn, X_sim, state.U_lin)
     state = state.replace(X_lin=X_sim)
 
-    # base QP (terminal tracking cost removed — the hull Q term replaces it)
-    P_base, q_base = build_cost(
-        N, config.Q, config.R, jnp.zeros((n_x, n_x)), state.x_ref
-    )
-    A_base, l_base, u_base = build_constraints(
-        Aks, Bks, cks, x0, config.x_min, config.x_max, config.u_min, config.u_max
-    )
+    # warm start: λ at the nearest valid vertex
+    lam0 = jax.nn.one_hot(jnp.argmin(
+        jnp.where(res.valid, res.distances, jnp.inf)), K)
 
-    # extended problem with [λ; s]. The terminal cost Qᵀλ is shifted by the
-    # minimum valid Q — exact under Σλ = 1 — so the solver sees only the
-    # O(span) cost *differences*, not the huge absolute cost-to-go level.
-    A_hull, l_hull, u_hull, q_lam = hull_constraint_rows(
-        res.states, res.q_values, res.valid, nz, xN_offset=nz - n_x, soft=True
-    )
+    # The terminal cost Qᵀλ is shifted by the minimum valid Q — exact under
+    # Σλ = 1 — so the solver sees only the O(span) cost *differences*, not
+    # the huge absolute cost-to-go level.
+    q_lam = jnp.where(res.valid, res.q_values, 0.0)
     q_min = jnp.min(jnp.where(res.valid, q_lam, jnp.inf))
     q_shift = jnp.where(res.valid, q_lam - q_min, 0.0)
     span = jnp.maximum(jnp.max(q_shift), 1.0)
-    P = jnp.zeros((n_ext, n_ext))
-    P = P.at[:nz, :nz].set(P_base)
-    P = P.at[nz : nz + K, nz : nz + K].set(config.lambda_reg * span * jnp.eye(K))
-    P = P.at[nz + K :, nz + K :].set(config.slack_weight * span * jnp.eye(n_x))
-    q = jnp.concatenate([q_base, q_shift, jnp.zeros(n_x)])
-    m_base = A_base.shape[0]
-    A = jnp.zeros((m_base + A_hull.shape[0], n_ext))
-    A = A.at[:m_base, :nz].set(A_base)
-    A = A.at[m_base:, :].set(A_hull)
-    l = jnp.concatenate([l_base, l_hull])
-    u = jnp.concatenate([u_base, u_hull])
 
-    # warm start: shifted trajectory + λ at the nearest valid vertex
-    lam0 = jax.nn.one_hot(jnp.argmin(
-        jnp.where(res.valid, res.distances, jnp.inf)), K)
-    z0 = jnp.concatenate([join_z(state.X_lin, state.U_lin), lam0, jnp.zeros(n_x)])
+    if config.condensed:
+        # z = [U; λ; s]: states eliminated via X = G·U + d (Qf = 0 — the
+        # hull Q term replaces the terminal tracking cost)
+        nu = N * n_u
+        n_ext_c = nu + K + n_x
+        base, Gs, ds = build_condensed_qp(
+            Aks, Bks, cks, x0, config.Q, config.R, jnp.zeros((n_x, n_x)),
+            state.x_ref, config.x_min, config.x_max, config.u_min, config.u_max,
+        )
+        A_hull, l_hull, u_hull, _ = hull_constraint_rows(
+            res.states, res.q_values, res.valid, nu, xN_offset=0, soft=True
+        )
+        # condensed coordinates: x_N = G_N·U + d_N, so the identity block on
+        # x_N becomes G_N over the U columns and the equality shifts by −d_N
+        A_hull = A_hull.at[:n_x, :nu].set(Gs[-1])
+        l_hull = l_hull.at[:n_x].add(-ds[-1])
+        u_hull = u_hull.at[:n_x].add(-ds[-1])
 
-    sol = solve(QPData(P=P, q=q, A=A, l=l, u=u), z0, None, config.admm, rho0=state.rho)
+        P = jnp.zeros((n_ext_c, n_ext_c))
+        P = P.at[:nu, :nu].set(base.P)
+        P = P.at[nu : nu + K, nu : nu + K].set(
+            config.lambda_reg * span * jnp.eye(K))
+        P = P.at[nu + K :, nu + K :].set(
+            config.slack_weight * span * jnp.eye(n_x))
+        q = jnp.concatenate([base.q, q_shift, jnp.zeros(n_x)])
+        m_base = base.A.shape[0]
+        A = jnp.zeros((m_base + A_hull.shape[0], n_ext_c))
+        A = A.at[:m_base, :nu].set(base.A)
+        A = A.at[m_base:, :].set(A_hull)
+        l = jnp.concatenate([base.l, l_hull])
+        u = jnp.concatenate([base.u, u_hull])
+        z0 = jnp.concatenate([state.U_lin.reshape(-1), lam0, jnp.zeros(n_x)])
+        admm = config.admm
+        if admm.row_structure is None:
+            # declare the condensed base rows' structure (the hull rows stay
+            # a trailing dense segment); see ops/qp/condensed.py row order
+            C = next((c for c in (5, 4, 3, 2) if N % c == 0), 1)
+            s_blk = N // C
+            admm = admm.replace(row_structure=(
+                ("blt", C, s_blk * n_x, s_blk * n_u), ("diag", nu),
+            ))
+        sol = solve(QPData(P=P, q=q, A=A, l=l, u=u), z0, None, admm,
+                    rho0=state.rho)
+        U_new = sol.x[:nu].reshape(N, n_u)
+        X_new = recover_states(Gs, ds, sol.x[:nu], x0)
+        lam = sol.x[nu : nu + K]
+        slack = sol.x[nu + K :]
+    else:
+        # sparse z = [X; U; λ; s]
+        P_base, q_base = build_cost(
+            N, config.Q, config.R, jnp.zeros((n_x, n_x)), state.x_ref
+        )
+        A_base, l_base, u_base = build_constraints(
+            Aks, Bks, cks, x0, config.x_min, config.x_max,
+            config.u_min, config.u_max
+        )
+        A_hull, l_hull, u_hull, _ = hull_constraint_rows(
+            res.states, res.q_values, res.valid, nz, xN_offset=nz - n_x,
+            soft=True,
+        )
+        P = jnp.zeros((n_ext, n_ext))
+        P = P.at[:nz, :nz].set(P_base)
+        P = P.at[nz : nz + K, nz : nz + K].set(
+            config.lambda_reg * span * jnp.eye(K))
+        P = P.at[nz + K :, nz + K :].set(
+            config.slack_weight * span * jnp.eye(n_x))
+        q = jnp.concatenate([q_base, q_shift, jnp.zeros(n_x)])
+        m_base = A_base.shape[0]
+        A = jnp.zeros((m_base + A_hull.shape[0], n_ext))
+        A = A.at[:m_base, :nz].set(A_base)
+        A = A.at[m_base:, :].set(A_hull)
+        l = jnp.concatenate([l_base, l_hull])
+        u = jnp.concatenate([u_base, u_hull])
+        z0 = jnp.concatenate(
+            [join_z(state.X_lin, state.U_lin), lam0, jnp.zeros(n_x)])
+        sol = solve(QPData(P=P, q=q, A=A, l=l, u=u), z0, None, config.admm,
+                    rho0=state.rho)
+        X_new, U_new = split_z(sol.x[:nz], N, n_x, n_u)
+        lam = sol.x[nz : nz + K]
+        slack = sol.x[nz + K :]
+
     # acceptance: primal-feasible plans are usable even when the dual is not
     # yet tight (ADMM on the near-LP λ block converges primal-first); also
     # require at least one usable vertex
@@ -182,9 +258,6 @@ def lmpc_solve(
         ((sol.status == SOLVED) | (sol.pri_res <= config.feasibility_tol))
         & jnp.any(res.valid)
     )
-    X_new, U_new = split_z(sol.x[:nz], N, n_x, n_u)
-    lam = sol.x[nz : nz + K]
-    slack = sol.x[nz + K :]
 
     X_opt = jnp.where(ok, X_new, state.X_lin)
     U_opt = jnp.where(ok, U_new, state.U_lin)
@@ -203,6 +276,8 @@ def lmpc_solve(
             terminal_q=q_lam @ lam,
             success=ok,
             slack_norm=jnp.linalg.norm(slack),
+            qp_status=sol.status,
+            qp_pri_res=sol.pri_res,
         ),
         new_state,
     )

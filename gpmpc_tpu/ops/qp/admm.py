@@ -93,8 +93,8 @@ class ADMMConfig:
     # static declaration of A's row structure, in row order: a tuple of
     # segments, each one of
     #   ("dense", n_rows)                    — no structure
-    #   ("diag", n_rows)                     — exact diagonal block spanning
-    #                                          all n columns (n_rows == n)
+    #   ("diag", n_rows)                     — exact diagonal block over
+    #                                          columns [0, n_rows)
     #   ("blt", n_blocks, blk_r, blk_c)      — block-lower-triangular: block
     #                                          (i, j) nonzero only for j ≤ i
     #   ("blockdiag", n_blocks, blk_r, blk_c) — block-diagonal (stage-local
@@ -144,8 +144,6 @@ def _compact_structure(A: Array, segs: tuple) -> tuple:
             r0 += nr
         elif kind == "diag":
             nr = seg[1]
-            if nr != n:
-                raise ValueError("diag segment must span all columns")
             ops.append(("diag", jnp.diagonal(A[r0 : r0 + nr])))
             r0 += nr
         elif kind == "blt":
@@ -226,7 +224,7 @@ def _make_A_ops(ops: tuple, n: int):
             if kind == "dense":
                 outs.append(mv(op[1], v))
             elif kind == "diag":
-                outs.append(op[1] * v)
+                outs.append(op[1] * v[: op[1].shape[0]])
             elif kind == "blt":
                 _, blocks, C, h, w = op
                 outs.extend(mv(blocks[i], v[: (i + 1) * w]) for i in range(C))
@@ -246,8 +244,9 @@ def _make_A_ops(ops: tuple, n: int):
                 out = out + mvT(op[1], t[r0 : r0 + nr])
                 r0 += nr
             elif kind == "diag":
-                out = out + op[1] * t[r0 : r0 + n]
-                r0 += n
+                nr = op[1].shape[0]
+                out = out.at[:nr].add(op[1] * t[r0 : r0 + nr])
+                r0 += nr
             elif kind == "blt":
                 _, blocks, C, h, w = op
                 for i in range(C):

@@ -63,6 +63,29 @@ class TestLMPCSolve:
         # thrust bounds hold
         assert float(sol.U_opt[:, 0].min()) >= cfg.u_min[0] - 1e-3
 
+    def test_condensed_matches_sparse(self, seeded):
+        """The condensed z=[U;λ;s] form solves the same QP as the sparse
+        z=[X;U;λ;s] form — u0/λ/terminal-Q parity on a warm solve (both
+        polished; differences are f32 iteration-path noise)."""
+        p, step, xT, cfg, ss, (X, U, C) = seeded
+        x0 = X[0]
+        st = lmpc_init(cfg, x0, xT).replace(
+            X_lin=X[: cfg.N + 1], U_lin=U[: cfg.N])
+        sol_c, _ = jax.jit(
+            lambda s, x: lmpc_solve(step, cfg.replace(condensed=True), ss, s, x)
+        )(st, x0)
+        sol_s, _ = jax.jit(
+            lambda s, x: lmpc_solve(step, cfg.replace(condensed=False), ss, s, x)
+        )(st, x0)
+        assert bool(sol_c.success) and bool(sol_s.success)
+        np.testing.assert_allclose(
+            np.asarray(sol_c.u0), np.asarray(sol_s.u0), atol=5e-3)
+        np.testing.assert_allclose(
+            np.asarray(sol_c.lam), np.asarray(sol_s.lam), atol=5e-2)
+        np.testing.assert_allclose(
+            float(sol_c.terminal_q), float(sol_s.terminal_q),
+            rtol=1e-3, atol=1e-2)
+
     def test_episode_adds_to_safe_set_on_success(self, seeded):
         p, step, xT, cfg, ss, (X, U, C) = seeded
         n_before = int(ss.n_trajectories)
