@@ -168,6 +168,66 @@ class TestCondensedParity:
         assert int(s_struct.status) == int(s_dense.status)
 
 
+class TestCondensed6DoFFacets:
+    def test_row_structure_6dof_cones(self):
+        """The auto-declared row structure for the 6-DoF condensed QP with
+        gimbal-cone (blockdiag Gu) AND glideslope (BLT Gx) facet rows must
+        match the dense path — this is the cones-campaign configuration."""
+        from gpmpc_tpu.dynamics import Rocket6DoFParams, rocket6dof as r6
+        from gpmpc_tpu.mpc import rti_config_6dof
+        from gpmpc_tpu.mpc.rti import _condensed_admm_cfg, rti_init
+
+        from gpmpc_tpu.dynamics.linearize import trajectory_jacobians
+        from gpmpc_tpu.ops.qp.admm import _compact_structure, _make_A_ops
+
+        p = Rocket6DoFParams()
+        # the cold cone+glideslope QP is genuinely hard (interpolated warm
+        # start far outside the cones): it needs the adaptive-ρ + polish
+        # budget to reach SOLVED in either arm
+        base_admm = ADMMConfig(max_iter=1000, polish=True, adaptive_rho=True,
+                               rho_adapt_chunks=8, scaling=10)
+        cfg = rti_config_6dof(
+            p, cone_facets=8, glideslope_facets=6, admm=base_admm
+        ).replace(condensed=True)
+        # the helper must declare all four segments for this config
+        segs = _condensed_admm_cfg(cfg).row_structure
+        kinds = [s[0] for s in segs]
+        assert kinds == ["blt", "diag", "blt", "blockdiag"], segs
+
+        F = lambda x, u: r6.step(p, x, u, cfg.dt)
+        xT = r6.create_initial_state(p, altitude=0.0)
+        x0 = r6.create_initial_state(
+            p, altitude=15.0, horizontal=(1.0, -0.5), velocity=(-2.0, 0.2, 0.0))
+        st = rti_init(cfg, x0, xT)
+        Aks, Bks, cks = trajectory_jacobians(F, st.X_lin, st.U_lin)
+        data, _, _ = build_condensed_qp(
+            Aks, Bks, cks, x0, cfg.Q, cfg.R, cfg.Qf, st.x_ref,
+            cfg.x_min, cfg.x_max, cfg.u_min, cfg.u_max,
+            cfg.Gx, cfg.gx_l, cfg.gx_u, cfg.Gu, cfg.gu_l, cfg.gu_u,
+        )
+
+        # compacted operator reproduces dense A exactly on every column
+        ops = _compact_structure(data.A, segs)
+        A_apply, AT_apply = _make_A_ops(ops, data.n)
+        for j in range(0, data.n, 7):
+            e = jnp.zeros(data.n).at[j].set(1.0)
+            np.testing.assert_allclose(
+                np.asarray(A_apply(e)), np.asarray(data.A @ e), atol=1e-6)
+            np.testing.assert_allclose(
+                np.asarray(AT_apply(data.A @ e)),
+                np.asarray(data.A.T @ (data.A @ e)), atol=1e-4)
+
+        s_struct = jax.jit(
+            lambda d: solve(d, config=_condensed_admm_cfg(cfg)))(data)
+        s_dense = jax.jit(
+            lambda d: solve(
+                d, config=base_admm.replace(row_structure=(("dense", 1),))
+            ))(data)
+        assert int(s_struct.status) == 0 and int(s_dense.status) == 0
+        np.testing.assert_allclose(
+            np.asarray(s_struct.x), np.asarray(s_dense.x), atol=5e-3)
+
+
 class TestCondensedClosedLoop:
     @pytest.mark.slow
     def test_landing_quality_matches_demo_criteria(self):
