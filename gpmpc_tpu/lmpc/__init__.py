@@ -6,9 +6,11 @@ from .lmpc import (
     LMPCState,
     SimpleLMPC,
     default_stage_cost,
+    fly_episode,
     lmpc_init,
     lmpc_solve,
     run_episode,
+    run_fleet_iterations,
     run_iterations,
 )
 
@@ -19,7 +21,9 @@ __all__ = [
     "SimpleLMPC",
     "default_stage_cost",
     "lmpc_init",
+    "fly_episode",
     "lmpc_solve",
     "run_episode",
+    "run_fleet_iterations",
     "run_iterations",
 ]

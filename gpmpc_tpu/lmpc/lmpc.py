@@ -288,7 +288,7 @@ def default_stage_cost(x: Array, u: Array, x_target: Array, config: LMPCConfig) 
     return e @ config.Q @ e + u @ config.R @ u
 
 
-def run_episode(
+def fly_episode(
     step_fn: Callable[[Array, Array], Array],
     config: LMPCConfig,
     safe_set: SafeSet,
@@ -297,10 +297,10 @@ def run_episode(
     max_steps: int,
     landing_altitude: float = 0.1,
     stage_cost_fn: Optional[Callable] = None,
-) -> Tuple[dict, SafeSet]:
-    """Closed-loop LMPC episode; on success the realized trajectory (with its
-    cost-to-go) joins the safe set and the iteration counter advances
-    (``lmpc.py:472-542``). Fixed ``max_steps`` with frozen lanes."""
+) -> dict:
+    """Closed-loop LMPC episode against a *frozen* safe set; returns the
+    realized trajectory and outcome without inserting it (so it vmaps over
+    a scenario fleet — see :func:`run_fleet_iterations`)."""
     cost_fn = stage_cost_fn or (lambda x, u: default_stage_cost(x, u, x_target, config))
     state0 = lmpc_init(config, x0, x_target)
 
@@ -325,20 +325,40 @@ def run_episode(
     # landing quality gate before safe-set insertion
     soft = jnp.linalg.norm(x_f[4:7]) < 2.0
     success = landed & soft
-    ss_new = safe_set.add_trajectory(X_full[:-1], U, costs, valid=success)
-    return (
-        {
-            "X": X_full,
-            "U": U,
-            "x_final": x_f,
-            "landed": landed,
-            "success": success,
-            "steps": steps,
-            "total_cost": jnp.sum(costs),
-            "qp_success_rate": jnp.mean(qp_ok.astype(jnp.float32)),
-        },
-        ss_new,
+    return {
+        "X": X_full,
+        "U": U,
+        "costs": costs,
+        "x_final": x_f,
+        "landed": landed,
+        "success": success,
+        "steps": steps,
+        "total_cost": jnp.sum(costs),
+        "qp_success_rate": jnp.mean(qp_ok.astype(jnp.float32)),
+    }
+
+
+def run_episode(
+    step_fn: Callable[[Array, Array], Array],
+    config: LMPCConfig,
+    safe_set: SafeSet,
+    x0: Array,
+    x_target: Array,
+    max_steps: int,
+    landing_altitude: float = 0.1,
+    stage_cost_fn: Optional[Callable] = None,
+) -> Tuple[dict, SafeSet]:
+    """Closed-loop LMPC episode; on success the realized trajectory (with its
+    cost-to-go) joins the safe set and the iteration counter advances
+    (``lmpc.py:472-542``). Fixed ``max_steps`` with frozen lanes."""
+    out = fly_episode(
+        step_fn, config, safe_set, x0, x_target, max_steps,
+        landing_altitude, stage_cost_fn,
     )
+    ss_new = safe_set.add_trajectory(
+        out["X"][:-1], out["U"], out["costs"], valid=out["success"]
+    )
+    return out, ss_new
 
 
 def run_iterations(
@@ -354,6 +374,60 @@ def run_iterations(
             step_fn, config, safe_set, x0, x_target, max_steps
         )
         summaries.append({k: out[k] for k in ("success", "steps", "total_cost")})
+    return summaries, safe_set
+
+
+def run_fleet_iterations(
+    step_fn,
+    config: LMPCConfig,
+    safe_set: SafeSet,
+    x0s: Array,  # (B, n_x) fleet of initial conditions
+    x_target: Array,
+    n_rounds: int,
+    max_steps: int,
+) -> Tuple[list, SafeSet]:
+    """Fleet LMPC: every lane flies an episode against the same frozen safe
+    set in lockstep (one vmapped XLA program per round — the scenario-axis
+    parallelism SURVEY §2.10 calls for, where the reference's episode loop
+    is strictly sequential, ``online_learner.py:529-677``); the successful
+    trajectories then merge into the safe set in deterministic lane order
+    before the next round. Freezing the set within a round keeps lanes
+    independent (bitwise-reproducible at any device count); the growth the
+    sequential runner would have seen mid-round arrives one round later.
+    """
+    fly = jax.jit(
+        jax.vmap(
+            lambda ss, x: fly_episode(
+                step_fn, config, ss, x, x_target, max_steps
+            ),
+            in_axes=(None, 0),
+        )
+    )
+
+    def add_many(ss, X, U, costs, success):
+        def body(ss, tr):
+            Xi, Ui, ci, oki = tr
+            return ss.add_trajectory(Xi[:-1], Ui, ci, valid=oki), None
+
+        ss, _ = jax.lax.scan(body, ss, (X, U, costs, success))
+        return ss
+
+    add_many = jax.jit(add_many)
+
+    summaries = []
+    for _ in range(n_rounds):
+        out = fly(safe_set, x0s)
+        safe_set = add_many(
+            safe_set, out["X"], out["U"], out["costs"], out["success"]
+        )
+        summaries.append(
+            {
+                "success_rate": float(jnp.mean(out["success"].astype(jnp.float32))),
+                "total_cost_mean": float(jnp.mean(out["total_cost"])),
+                "steps_mean": float(jnp.mean(out["steps"].astype(jnp.float32))),
+                "qp_success_rate": float(jnp.mean(out["qp_success_rate"])),
+            }
+        )
     return summaries, safe_set
 
 

@@ -96,6 +96,35 @@ class TestLMPCSolve:
         assert int(ss2.n_trajectories) == n_before + int(bool(out["success"]))
 
     @pytest.mark.slow
+    def test_fleet_iterations(self, seeded):
+        """A fleet of lanes flies vmapped episodes against the frozen safe
+        set; successful trajectories merge between rounds and the set grows
+        by the number of successes (the scenario-parallel LMPC the
+        reference's sequential episode loop cannot express)."""
+        from gpmpc_tpu.lmpc import run_fleet_iterations
+
+        p, step, xT, cfg, ss, (X, U, C) = seeded
+        x0s = jnp.stack([
+            X[0],
+            X[0].at[1].add(1.0),
+            X[0].at[2].add(-0.3),
+            X[0].at[4].add(0.3),
+        ])
+        n_before = int(ss.n_trajectories)
+        summaries, ss2 = run_fleet_iterations(
+            step, cfg, ss, x0s, xT, n_rounds=2, max_steps=180
+        )
+        assert all(s["success_rate"] == 1.0 for s in summaries), summaries
+        # 2 rounds × 4 lanes, all successful → 8 new trajectories
+        assert int(ss2.n_trajectories) == n_before + 8
+        # round 2 flies against the round-1-enriched safe set: the terminal
+        # sets near each perturbed lane now hold that lane's own round-1
+        # states, so more subproblems become feasible (per-x0 cost
+        # monotonicity is covered by test_iterative_improvement; across
+        # DIFFERENT starts costs are not comparable)
+        assert summaries[1]["qp_success_rate"] >= summaries[0]["qp_success_rate"], summaries
+
+    @pytest.mark.slow
     def test_iterative_improvement(self, seeded):
         """The LMPC property: episode cost is non-increasing over iterations
         (up to solver tolerance)."""
