@@ -66,7 +66,7 @@ def main():
     xT = jnp.zeros(7).at[0].set(2.0)
 
     # ---- fit the residual GP (timing-irrelevant; content = drag residuals) --
-    _, mean_fn, var_fn = explore_gp_3dof(
+    gp3, mean_fn, var_fn = explore_gp_3dof(
         jax.random.PRNGKey(0), jax.random.PRNGKey(1), p, F_true, dt=dt
     )
 
@@ -168,6 +168,49 @@ def main():
     gp_batch_ms = (time.time() - t0) / (STEPS * N_WINDOWS) * 1e3
     gp_us_per_posterior = gp_batch_ms * 1e3 / (BATCH * N)
 
+    # ---- online GP update latency (reference: <5 ms per update, goal <1 ms,
+    # during 50 Hz control — online_update.py:14-16,56). One update = the
+    # per-cycle observation path: residual from the flown step, feature
+    # extraction, novelty-gated ring-buffer insert, cadence flags — batched
+    # over every scenario (one updater per lane), per control cycle.
+    from gpmpc_tpu.gp import OnlineGPUpdater, OnlineUpdateConfig, ResidualCollector
+
+    coll = ResidualCollector(dt=dt)
+    upd0 = OnlineGPUpdater.create(
+        OnlineUpdateConfig(capacity=256), d=gp3.extractor.n_features, n_out=3
+    )
+    upds0 = jax.tree.map(
+        lambda a: jnp.broadcast_to(jnp.asarray(a)[None], (BATCH,) + jnp.shape(a)),
+        upd0,
+    )
+
+    @jax.jit
+    def online_update_window(upds, xs):
+        def one(upd, x):
+            u = jnp.array([2.0, 0.0, 0.0])
+            r = coll.residual(F, x, u, F_true(x, u))
+            f = gp3.extractor.extract(x, u)
+            upd2, _, _ = upd.observe(f, r)
+            return upd2
+
+        def body(carry, _):
+            upds, xs = carry
+            upds = jax.vmap(one)(upds, xs)
+            xs = xs + 0.01  # drift the queries so inserts stay novel
+            return (upds, xs), None
+
+        (upds, _), _ = jax.lax.scan(body, (upds, xs), None, length=STEPS)
+        return upds, jnp.sum(upds.buffer.count)
+
+    upds, cnt = online_update_window(upds0, x0s)
+    _ = int(jax.device_get(cnt))
+    t0 = time.time()
+    for _i in range(N_WINDOWS):
+        upds, cnt = online_update_window(upds, x0s + 0.1 * _i)
+        _ = int(jax.device_get(cnt))
+    upd_batch_ms = (time.time() - t0) / (STEPS * N_WINDOWS) * 1e3
+    upd_us_per_lane = upd_batch_ms * 1e3 / BATCH
+
     result = {
         "metric": (
             f"GP-MPC solves/sec/chip (N={N}, batch={BATCH}, {SCP_ITERS} SCP "
@@ -190,6 +233,9 @@ def main():
             "gp_posterior_mean_var_us": round(gp_us_per_posterior, 3),
             "gp_posteriors_per_cycle": BATCH * N,
             "gp_eval_batch_ms": round(gp_batch_ms, 3),
+            # reference online-update budget: <5 ms/update, goal <1 ms
+            "gp_online_update_us_per_lane": round(upd_us_per_lane, 3),
+            "gp_online_update_batch_ms": round(upd_batch_ms, 3),
         },
     }
     print(json.dumps(result))

@@ -314,10 +314,11 @@ def fly_episode(
         steps = steps + jnp.where(landed, 0, 1)
         cost = jnp.where(landed, 0.0, cost_fn(x, sol.u0))
         return (x_out, st_out, landed | now_landed, steps), (
-            x_out, jnp.where(landed, jnp.zeros_like(sol.u0), sol.u0), cost, sol.success
+            x_out, jnp.where(landed, jnp.zeros_like(sol.u0), sol.u0), cost,
+            sol.success, ~landed,
         )
 
-    (x_f, _, landed, steps), (X, U, costs, qp_ok) = jax.lax.scan(
+    (x_f, _, landed, steps), (X, U, costs, qp_ok, live) = jax.lax.scan(
         body, (x0, state0, jnp.asarray(False), jnp.asarray(0, jnp.int32)),
         None, length=max_steps,
     )
@@ -334,7 +335,9 @@ def fly_episode(
         "success": success,
         "steps": steps,
         "total_cost": jnp.sum(costs),
-        "qp_success_rate": jnp.mean(qp_ok.astype(jnp.float32)),
+        # over LIVE steps only (frozen post-landing re-solves are not flown)
+        "qp_success_rate": jnp.sum((qp_ok & live).astype(jnp.float32))
+        / jnp.maximum(jnp.sum(live.astype(jnp.float32)), 1.0),
     }
 
 

@@ -1,0 +1,193 @@
+#!/usr/bin/env python
+"""Campaign-scale LMPC fleet learning on one chip.
+
+The scale artifact for the learning loop: a fleet of dispersed scenarios
+flies closed-loop LMPC episodes *in lockstep* (one vmapped XLA program per
+round), the successful trajectories merge into the shared sampled safe set
+between rounds, and the next round's terminal sets/Q-functions are built
+from everything the whole fleet has learned. This is the scenario-parallel
+form of the reference's strictly sequential episode loop
+(``/root/reference/src/learning/online_learner.py:529-677`` and
+``/root/reference/src/lmpc/lmpc.py:472-542``): where the reference learns
+from one episode at a time, every round here lands hundreds concurrently.
+
+A probe lane flies the exact seed initial condition every round, so the
+classic LMPC iteration-cost monotonicity (Q^{j+1} <= Q^j) is measured at
+fleet scale alongside the fleet-wide statistics.
+
+    python scripts/run_fleet_lmpc_tpu.py                    # TPU, 256 lanes
+    python scripts/run_fleet_lmpc_tpu.py --cpu --batch 8 --rounds 2 \
+        --steps 140   # smoke
+
+Prints per-round summaries plus one JSON line (pass --out to write it).
+"""
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def seed_trajectory(jax, jnp, p, step, xT, cfg, n_steps=200):
+    """Suboptimal PD descent-law rollout as the LMPC bootstrap (the
+    reference seeds from SCVX/PD rollouts). Lanes freeze at touchdown so
+    the fixed-length scan stores a correct cost-to-go."""
+    from gpmpc_tpu.dynamics import rocket3dof as r3
+
+    p_clamp = p.replace(T_min=0.3, T_max=5.0)
+
+    def body(carry, _):
+        x, landed = carry
+        v_ref = -0.7 * jnp.sqrt(jnp.maximum(x[1], 0.0))
+        u = r3.hover_thrust(p, x) + jnp.array(
+            [2.0 * (v_ref - x[4]), -1.0 * x[5] - 0.4 * x[2], -1.0 * x[6] - 0.4 * x[3]]
+        )
+        u = r3.clamp_thrust(p_clamp, u)
+        e = x - xT
+        cost = jnp.where(landed, 0.0, e @ cfg.Q @ e + u @ cfg.R @ u)
+        x_next = jnp.where(landed, x, step(x, u))
+        return (x_next, landed | (x_next[1] < 0.05)), (x, u, cost)
+
+    x0 = jnp.array([2.0, 20.0, 0.5, 0.0, -2.0, 0.0, 0.0])
+    (_, landed), (X, U, C) = jax.lax.scan(
+        body, (x0, jnp.asarray(False)), None, length=n_steps
+    )
+    assert bool(landed), "seed descent law must land"
+    return x0, X, U, C
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=256)
+    ap.add_argument("--rounds", type=int, default=5)
+    ap.add_argument("--steps", type=int, default=150)
+    ap.add_argument("--capacity", type=int, default=0,
+                    help="safe-set capacity (0 = sized to hold every round)")
+    ap.add_argument("--chunk", type=int, default=0,
+                    help="lanes per dispatch (0 = whole fleet in one). Long "
+                         "single TPU dispatches can trip the relay watchdog; "
+                         "chunks are independent lanes, results identical.")
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--out", type=str, default=None)
+    args = ap.parse_args()
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    from gpmpc_tpu.dynamics import Rocket3DoFParams, rocket3dof as r3
+    from gpmpc_tpu.lmpc import LMPCConfig, fly_episode
+    from gpmpc_tpu.terminal import SafeSet
+
+    p = Rocket3DoFParams()
+    cfg = LMPCConfig()
+    xT = jnp.zeros(7).at[0].set(2.0)
+    step = lambda x, u: r3.step(p, x, u, cfg.dt)
+
+    x0_seed, Xs, Us, Cs = seed_trajectory(jax, jnp, p, step, xT, cfg)
+    seed_cost = float(jnp.sum(Cs))
+
+    cap = args.capacity or (
+        1 << (args.batch * (args.steps + 1) * args.rounds + Xs.shape[0]
+              ).bit_length()
+    )
+    ss = SafeSet.create(cap, 7)
+    ss = ss.add_trajectory(Xs, Us, Cs)
+
+    # dispersed fleet; lane 0 is the probe at the exact seed IC
+    key = jax.random.PRNGKey(0)
+    pert = jax.random.uniform(
+        key, (args.batch, 7), minval=-1.0, maxval=1.0
+    ) * jnp.array([0.0, 2.0, 0.5, 0.5, 0.3, 0.1, 0.1])
+    x0s = (x0_seed[None] + pert).at[0].set(x0_seed)
+
+    fly = jax.jit(
+        jax.vmap(
+            lambda ss, x: fly_episode(step, cfg, ss, x, xT, args.steps),
+            in_axes=(None, 0),
+        )
+    )
+
+    @jax.jit
+    def add_many(ss, X, U, costs, success):
+        def body(ss, tr):
+            Xi, Ui, ci, oki = tr
+            return ss.add_trajectory(Xi[:-1], Ui, ci, valid=oki), None
+
+        ss, _ = jax.lax.scan(body, ss, (X, U, costs, success))
+        return ss
+
+    chunk = args.chunk or args.batch
+    assert args.batch % chunk == 0
+    rounds, lane0_costs = [], []
+    t_start = time.time()
+    for r in range(args.rounds):
+        t0 = time.time()
+        outs = []
+        for c in range(args.batch // chunk):
+            out = fly(ss, x0s[c * chunk : (c + 1) * chunk])
+            jax.block_until_ready(out["total_cost"])
+            outs.append(out)
+        out = jax.tree.map(lambda *xs: jnp.concatenate(xs), *outs)
+        ss = add_many(ss, out["X"], out["U"], out["costs"], out["success"])
+        n_traj = int(jax.device_get(ss.n_trajectories))
+        dt_round = time.time() - t0
+        summary = {
+            "round": r + 1,
+            "success_rate": round(float(jnp.mean(
+                out["success"].astype(jnp.float32))), 4),
+            "total_cost_mean": round(float(jnp.mean(out["total_cost"])), 1),
+            "probe_lane_cost": round(float(out["total_cost"][0]), 1),
+            "steps_mean": round(float(jnp.mean(
+                out["steps"].astype(jnp.float32))), 1),
+            "qp_success_rate": round(float(jnp.mean(
+                out["qp_success_rate"])), 4),
+            "touchdown_speed_mean": round(float(jnp.mean(
+                jnp.linalg.norm(out["x_final"][:, 4:7], axis=1))), 3),
+            "safe_set_trajectories": n_traj,
+            "wall_s": round(dt_round, 1),
+            "lmpc_cycles_per_s": round(
+                args.batch * args.steps / dt_round, 1),
+        }
+        rounds.append(summary)
+        lane0_costs.append(summary["probe_lane_cost"])
+        print(json.dumps(summary))
+
+    wall = time.time() - t_start
+    result = {
+        "campaign": "fleet_lmpc_3dof",
+        "controller": "LMPC (condensed hull QP, fuel-filtered KNN terminal set)",
+        "batch": args.batch,
+        "rounds": args.rounds,
+        "max_steps": args.steps,
+        "safe_set_capacity": cap,
+        "devices": [str(d) for d in jax.devices()],
+        "seed_cost": round(seed_cost, 1),
+        "probe_lane_costs": lane0_costs,
+        "probe_improves_on_seed": lane0_costs[-1] < seed_cost,
+        "probe_monotone_within_5pct": all(
+            b <= a * 1.05 for a, b in zip(lane0_costs, lane0_costs[1:])
+        ),
+        "final_success_rate": rounds[-1]["success_rate"],
+        "episodes_flown": args.batch * args.rounds,
+        "episodes_per_s": round(args.batch * args.rounds / wall, 2),
+        "lmpc_cycles_per_s": round(
+            args.batch * args.steps * args.rounds / wall, 1),
+        "wall_s": round(wall, 1),
+        "per_round": rounds,
+    }
+    print(json.dumps(result))
+    if args.out:
+        Path(args.out).write_text(json.dumps(result, indent=1))
+    ok = result["probe_improves_on_seed"] and result["final_success_rate"] > 0.9
+    print("FLEET LMPC:", "PASS" if ok else "FAIL")
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
