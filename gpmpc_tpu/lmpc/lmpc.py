@@ -395,8 +395,11 @@ def run_fleet_iterations(
     is strictly sequential, ``online_learner.py:529-677``); the successful
     trajectories then merge into the safe set in deterministic lane order
     before the next round. Freezing the set within a round keeps lanes
-    independent (bitwise-reproducible at any device count); the growth the
-    sequential runner would have seen mid-round arrives one round later.
+    independent — episodes shard over any device mesh with outcome-identical
+    results (exact state parity is limited by f32 reduction-order noise
+    under different batch tilings, amplified by the near-LP hull QP; see
+    tests/test_parallel.py) — and the growth the sequential runner would
+    have seen mid-round arrives one round later.
     """
     fly = jax.jit(
         jax.vmap(

@@ -192,6 +192,86 @@ class TestShardedRealControllers:
         )
 
 
+class TestShardedFleetLMPC:
+    """Fleet LMPC under the scenario mesh: the safe set replicates, the lane
+    axis shards, and the vmapped episodes must match the unsharded fleet
+    exactly (lanes are independent within a round — the property
+    run_fleet_iterations relies on for device-count-invariant results)."""
+
+    @pytest.mark.slow
+    def test_fleet_round_sharded_matches_unsharded(self, devices8):
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from gpmpc_tpu.lmpc import LMPCConfig, fly_episode
+
+        p = Rocket3DoFParams()
+        dt = 0.1
+        step = lambda x, u: r3.step(p, x, u, dt)
+        xT = jnp.zeros(7).at[0].set(2.0)
+        cfg = LMPCConfig()
+
+        # short PD-law seed descent from low altitude (fast episodes)
+        x = jnp.array([2.0, 8.0, 0.2, 0.0, -1.5, 0.0, 0.0])
+        xs, us, cs = [], [], []
+        for _ in range(150):
+            v_ref = -0.7 * jnp.sqrt(jnp.maximum(x[1], 0.0))
+            u = r3.hover_thrust(p, x) + jnp.array(
+                [2.0 * (v_ref - x[4]), -1.0 * x[5] - 0.4 * x[2],
+                 -1.0 * x[6] - 0.4 * x[3]])
+            u = r3.clamp_thrust(p.replace(T_min=0.3, T_max=5.0), u)
+            xs.append(x)
+            us.append(u)
+            e = x - xT
+            cs.append(e @ cfg.Q @ e + u @ cfg.R @ u)
+            x = step(x, u)
+            if float(x[1]) < 0.05:
+                break
+        ss = SafeSet.create(512, 7).add_trajectory(
+            jnp.stack(xs), jnp.stack(us), jnp.stack(cs))
+
+        x0 = jnp.stack(xs)[0]
+        x0s = jnp.stack([
+            x0, x0.at[1].add(0.5), x0.at[2].add(-0.2), x0.at[4].add(0.2),
+            x0.at[1].add(-0.5), x0.at[2].add(0.2), x0.at[4].add(-0.2),
+            x0.at[3].add(0.2),
+        ])
+
+        fly = jax.jit(jax.vmap(
+            lambda ss, x: fly_episode(step, cfg, ss, x, xT, 70),
+            in_axes=(None, 0),
+        ))
+        ref = fly(ss, x0s)
+
+        mesh = scenario_mesh(devices8)
+        x0s_sh = jax.device_put(x0s, NamedSharding(mesh, P("scenarios")))
+        ss_rep = jax.device_put(ss, NamedSharding(mesh, P()))
+        out = fly(ss_rep, x0s_sh)
+
+        # parity is OUTCOME-level, not bitwise: different batch tilings
+        # compile different f32 reduction orders, and the near-LP hull QP +
+        # KNN tie-breaks amplify last-ulp differences over the closed loop
+        # (measured: half the lanes match to 1e-2, the rest drift to ~0.2 in
+        # x_final while landing identically). A real sharding bug — wrong
+        # lanes, mixed safe-set state — flips success flags and step counts
+        # by O(episode length).
+        np.testing.assert_array_equal(
+            np.asarray(out["success"]), np.asarray(ref["success"])
+        )
+        np.testing.assert_array_equal(
+            np.asarray(out["landed"]), np.asarray(ref["landed"])
+        )
+        assert np.abs(
+            np.asarray(out["steps"]) - np.asarray(ref["steps"])
+        ).max() <= 8
+        np.testing.assert_allclose(
+            np.asarray(out["total_cost"]), np.asarray(ref["total_cost"]),
+            rtol=0.25,
+        )
+        # every lane lands softly under both compilations
+        assert float(jnp.linalg.norm(out["x_final"][:, 4:7], axis=1).max()) < 1.0
+        assert len(out["x_final"].sharding.device_set) == 8
+
+
 class TestExplicitCollectives:
     """VERDICT item 4: explicit shard_map+psum statistics and the multi-host
     surface (('hosts','chips') mesh, distributed bootstrap, global gather)."""
