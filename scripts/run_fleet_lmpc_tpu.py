@@ -72,6 +72,10 @@ def main() -> int:
                          "chunks are independent lanes, results identical.")
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--out", type=str, default=None)
+    ap.add_argument("--checkpoint", type=str, default=None,
+                    help="directory for between-round checkpoints (safe set "
+                         "+ per-round summaries); an interrupted campaign "
+                         "resumes from the last completed round")
     args = ap.parse_args()
 
     import jax
@@ -125,8 +129,34 @@ def main() -> int:
     chunk = args.chunk or args.batch
     assert args.batch % chunk == 0
     rounds, lane0_costs = [], []
+    ckpt = None
+    first_round = 0
+    if args.checkpoint:
+        from gpmpc_tpu.utils.checkpoint import CampaignCheckpointer
+
+        ckpt = CampaignCheckpointer(args.checkpoint)
+        rounds_file = Path(args.checkpoint) / "rounds.json"
+        meta_file = Path(args.checkpoint) / "meta.json"
+        if meta_file.exists():
+            # the capacity is part of the stored shapes: a resume must use
+            # the capacity the campaign started with, whatever --rounds says
+            cap = json.loads(meta_file.read_text())["capacity"]
+            if cap != ss.capacity:
+                ss = SafeSet.create(cap, 7)
+                ss = ss.add_trajectory(Xs, Us, Cs)
+        else:
+            meta_file.parent.mkdir(parents=True, exist_ok=True)
+            meta_file.write_text(json.dumps({"capacity": cap}))
+        done_rounds, ss_restored = ckpt.restore_latest(ss)
+        if done_rounds is not None:
+            ss = ss_restored
+            rounds = json.loads(rounds_file.read_text())[:done_rounds]
+            lane0_costs = [s["probe_lane_cost"] for s in rounds]
+            first_round = done_rounds
+            print(f"resumed after round {done_rounds} "
+                  f"({int(jax.device_get(ss.n_trajectories))} trajectories)")
     t_start = time.time()
-    for r in range(args.rounds):
+    for r in range(first_round, args.rounds):
         t0 = time.time()
         outs = []
         for c in range(args.batch // chunk):
@@ -157,8 +187,12 @@ def main() -> int:
         rounds.append(summary)
         lane0_costs.append(summary["probe_lane_cost"])
         print(json.dumps(summary))
+        if ckpt is not None:
+            ckpt.save(r + 1, ss)
+            rounds_file.write_text(json.dumps(rounds))
 
     wall = time.time() - t_start
+    rounds_run = max(args.rounds - first_round, 1)  # throughput = this run
     result = {
         "campaign": "fleet_lmpc_3dof",
         "controller": "LMPC (condensed hull QP, fuel-filtered KNN terminal set)",
@@ -174,10 +208,10 @@ def main() -> int:
             b <= a * 1.05 for a, b in zip(lane0_costs, lane0_costs[1:])
         ),
         "final_success_rate": rounds[-1]["success_rate"],
-        "episodes_flown": args.batch * args.rounds,
-        "episodes_per_s": round(args.batch * args.rounds / wall, 2),
+        "episodes_flown": args.batch * len(rounds),
+        "episodes_per_s": round(args.batch * rounds_run / wall, 2),
         "lmpc_cycles_per_s": round(
-            args.batch * args.steps * args.rounds / wall, 1),
+            args.batch * args.steps * rounds_run / wall, 1),
         "wall_s": round(wall, 1),
         "per_round": rounds,
     }
