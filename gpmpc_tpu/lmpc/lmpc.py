@@ -26,12 +26,14 @@ from flax import struct
 from ..dynamics.linearize import trajectory_jacobians
 from ..ops.qp import (
     ADMMConfig,
+    IPMConfig,
     SOLVED,
     QPData,
     build_constraints,
     build_cost,
     join_z,
     solve,
+    solve_ipm,
     split_z,
 )
 from ..ops.qp.condensed import build_condensed_qp, recover_states
@@ -89,6 +91,21 @@ class LMPCConfig:
     # row structure declared) — the same QP, solution-parity-tested against
     # the sparse z=[X;U;λ;s] form
     condensed: bool = struct.field(pytree_node=False, default=True)
+    # "admm" (OSQP semantics, the 800-iteration budget above) or "ipm"
+    # (Mehrotra predictor-corrector, condensed form only): the hull QP is
+    # near-LP, which is exactly where the IPM wins — ~15-20 Newton
+    # iterations reach a better objective at 1e-6 feasibility than the
+    # 800-iteration ADMM, 2.2x faster fleet rounds (see ops/qp/ipm.py).
+    # CAVEAT for fleet GROWTH runs: the sharper optimum exploits the soft
+    # terminal hull harder under the default cost — measured round-2
+    # touchdowns of ~2 m/s (vs ~0.9 for the sloppier ADMM), brushing the
+    # soft-landing gate; episodes terminate at the altitude crossing
+    # mid-horizon, so the faster swoop IS the cheaper plan. Pair the IPM
+    # with a touchdown-speed-aware stage cost (or a tighter success gate)
+    # before flying growth campaigns on it; single solves and frozen-set
+    # episodes are strictly better (tests/test_lmpc.py).
+    solver: str = struct.field(pytree_node=False, default="admm")
+    ipm_iters: int = struct.field(pytree_node=False, default=20)
 
 
 class LMPCSolution(NamedTuple):
@@ -201,23 +218,43 @@ def lmpc_solve(
         A = A.at[m_base:, :].set(A_hull)
         l = jnp.concatenate([base.l, l_hull])
         u = jnp.concatenate([base.u, u_hull])
-        z0 = jnp.concatenate([state.U_lin.reshape(-1), lam0, jnp.zeros(n_x)])
-        admm = config.admm
-        if admm.row_structure is None:
-            # declare the condensed base rows' structure (the hull rows stay
-            # a trailing dense segment); see ops/qp/condensed.py row order
-            C = next((c for c in (5, 4, 3, 2) if N % c == 0), 1)
-            s_blk = N // C
-            admm = admm.replace(row_structure=(
-                ("blt", C, s_blk * n_x, s_blk * n_u), ("diag", nu),
-            ))
-        sol = solve(QPData(P=P, q=q, A=A, l=l, u=u), z0, None, admm,
-                    rho0=state.rho)
+        if config.solver == "ipm":
+            # IPM contract: equality rows last. The hull block arrives as
+            # [n_x hull-eq; Σλ; K λ-bounds] — move the bounds ahead of the
+            # equalities (static permutation)
+            perm = (list(range(m_base))
+                    + list(range(m_base + n_x + 1, m_base + n_x + 1 + K))
+                    + list(range(m_base, m_base + n_x + 1)))
+            perm = jnp.asarray(perm)
+            sol = solve_ipm(
+                QPData(P=P, q=q, A=A[perm], l=l[perm], u=u[perm]),
+                IPMConfig(n_eq=n_x + 1, iters=config.ipm_iters),
+            )
+        else:
+            z0 = jnp.concatenate(
+                [state.U_lin.reshape(-1), lam0, jnp.zeros(n_x)])
+            admm = config.admm
+            if admm.row_structure is None:
+                # declare the condensed base rows' structure (the hull rows
+                # stay a trailing dense segment); see ops/qp/condensed.py
+                # row order
+                C = next((c for c in (5, 4, 3, 2) if N % c == 0), 1)
+                s_blk = N // C
+                admm = admm.replace(row_structure=(
+                    ("blt", C, s_blk * n_x, s_blk * n_u), ("diag", nu),
+                ))
+            sol = solve(QPData(P=P, q=q, A=A, l=l, u=u), z0, None, admm,
+                        rho0=state.rho)
         U_new = sol.x[:nu].reshape(N, n_u)
         X_new = recover_states(Gs, ds, sol.x[:nu], x0)
         lam = sol.x[nu : nu + K]
         slack = sol.x[nu + K :]
     else:
+        if config.solver == "ipm":
+            raise ValueError(
+                "solver='ipm' requires the condensed form (the sparse "
+                "z=[X;U;λ;s] layout interleaves its equality rows)"
+            )
         # sparse z = [X; U; λ; s]
         P_base, q_base = build_cost(
             N, config.Q, config.R, jnp.zeros((n_x, n_x)), state.x_ref
@@ -265,7 +302,9 @@ def lmpc_solve(
     U_shift = jnp.concatenate([U_opt[1:], U_opt[-1:]], axis=0)
 
     new_state = state.replace(
-        X_lin=X_shift, U_lin=U_shift, rho=sol.rho
+        X_lin=X_shift, U_lin=U_shift,
+        # the IPM has no penalty to warm-start; keep the carried ρ intact
+        rho=state.rho if config.solver == "ipm" else sol.rho,
     )
     return (
         LMPCSolution(

@@ -3,6 +3,7 @@ reference's five separate native-solver call sites (OSQP RTI, IPOPT NLPs,
 safety QP, hull membership/projection, SCVX subproblems; SURVEY.md §7)."""
 
 from .admm import ADMMConfig, solve, solve_batch, solve_jit
+from .ipm import IPMConfig, solve_ipm
 from .condensed import (
     build_condensed_qp,
     n_condensed_constraints,
@@ -32,6 +33,8 @@ from .types import (
 
 __all__ = [
     "ADMMConfig",
+    "IPMConfig",
+    "solve_ipm",
     "DUAL_INFEASIBLE",
     "MAX_ITER",
     "PRIMAL_INFEASIBLE",

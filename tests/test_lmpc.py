@@ -128,6 +128,41 @@ class TestLMPCSolve:
             >= summaries[0]["qp_success_rate"] - 0.05
         ), summaries
 
+    def test_ipm_solver_single_solve(self, seeded):
+        """solver='ipm' solves the same hull QP: success, λ on the simplex,
+        hull slack small, thrust bounds respected."""
+        p, step, xT, cfg, ss, (X, U, C) = seeded
+        cfg_i = cfg.replace(solver="ipm")
+        x0 = X[0]
+        st = lmpc_init(cfg_i, x0, xT).replace(
+            X_lin=X[: cfg.N + 1], U_lin=U[: cfg.N])
+        sol, _ = jax.jit(
+            lambda s, x: lmpc_solve(step, cfg_i, ss, s, x))(st, x0)
+        assert bool(sol.success), (
+            float(sol.qp_pri_res), int(sol.qp_status))
+        np.testing.assert_allclose(float(sol.lam.sum()), 1.0, atol=1e-3)
+        assert float(sol.lam.min()) >= -1e-4
+        assert float(sol.slack_norm) < 0.5
+        assert float(sol.U_opt[:, 0].min()) >= cfg.u_min[0] - 1e-3
+
+    @pytest.mark.slow
+    def test_ipm_episode_matches_admm_quality(self, seeded):
+        """A closed-loop LMPC episode flown on the IPM lands with a total
+        cost no worse than the 800-iteration ADMM episode (the IPM measured
+        a strictly better per-solve objective at 1e-6 feasibility — see
+        ops/qp/ipm.py)."""
+        from gpmpc_tpu.lmpc import fly_episode
+
+        p, step, xT, cfg, ss, (X, U, C) = seeded
+        out_a = jax.jit(
+            lambda s, x: fly_episode(step, cfg, s, x, xT, 180))(ss, X[0])
+        out_i = jax.jit(
+            lambda s, x: fly_episode(
+                step, cfg.replace(solver="ipm"), s, x, xT, 180))(ss, X[0])
+        assert bool(out_i["landed"]) and bool(out_i["success"])
+        assert float(out_i["total_cost"]) <= float(out_a["total_cost"]) * 1.05
+        assert float(out_i["qp_success_rate"]) >= 0.5
+
     @pytest.mark.slow
     def test_iterative_improvement(self, seeded):
         """The LMPC property: episode cost is non-increasing over iterations
