@@ -106,6 +106,20 @@ class LMPCConfig:
     # episodes are strictly better (tests/test_lmpc.py).
     solver: str = struct.field(pytree_node=False, default="admm")
     ipm_iters: int = struct.field(pytree_node=False, default=20)
+    # touchdown-speed shaping: extra velocity cost near the ground, gated
+    # smoothly on below gate_altitude, applied to the EPISODE stage cost
+    # (and hence the stored cost-to-go values). Without it the episode
+    # terminates at the altitude crossing mid-horizon, so a fast swoop
+    # truncates the cost sum and IS the optimum — each fleet round lands
+    # harder than the last (measured; worst with the sharper IPM). The
+    # shaping steers through the value-learning pathway: hard landings get
+    # expensive Q-values, so the terminal Qᵀλ term avoids their vertices.
+    # Deliberately NOT added to the QP stage cost: stiff near-ground
+    # velocity weights make the subproblems thrust-infeasible and crash
+    # the fleet (measured: 85 m/s ballistic lanes at weight 2e4). 0 = off.
+    touchdown_speed_weight: float = 0.0
+    touchdown_gate_altitude: float = 1.5
+    touchdown_gate_width: float = 0.25
 
 
 class LMPCSolution(NamedTuple):
@@ -324,7 +338,13 @@ def lmpc_solve(
 
 def default_stage_cost(x: Array, u: Array, x_target: Array, config: LMPCConfig) -> Array:
     e = x - x_target
-    return e @ config.Q @ e + u @ config.R @ u
+    gate = jax.nn.sigmoid(
+        (config.touchdown_gate_altitude - x[1]) / config.touchdown_gate_width
+    )
+    return (
+        e @ config.Q @ e + u @ config.R @ u
+        + config.touchdown_speed_weight * gate * jnp.sum(x[4:7] ** 2)
+    )
 
 
 def fly_episode(

@@ -145,6 +145,39 @@ class TestLMPCSolve:
         assert float(sol.slack_norm) < 0.5
         assert float(sol.U_opt[:, 0].min()) >= cfg.u_min[0] - 1e-3
 
+    def test_touchdown_speed_shaping_gates_on_altitude(self, seeded):
+        """The touchdown-speed shaping term is (a) off by default, (b) active
+        only below the gate altitude, and (c) priced by velocity — so fast
+        near-ground states carry expensive Q-values into the safe set while
+        the QP stage cost (which never sees it) stays thrust-feasible."""
+        from gpmpc_tpu.lmpc import default_stage_cost
+
+        p, step, xT, cfg, ss, (X, U, C) = seeded
+        u = r3.hover_thrust(p, X[0])
+        fast_low = jnp.array([2.0, 0.5, 0.0, 0.0, -4.0, 0.0, 0.0])
+        fast_high = fast_low.at[1].set(20.0)
+        slow_low = fast_low.at[4].set(-0.5)
+
+        # default config: shaping off → identical to the plain quadratic
+        base = fast_low - xT
+        plain = base @ cfg.Q @ base + u @ cfg.R @ u
+        np.testing.assert_allclose(
+            float(default_stage_cost(fast_low, u, xT, cfg)), float(plain),
+            rtol=1e-6)
+
+        cfg_s = cfg.replace(touchdown_speed_weight=100.0)
+        c_fast_low = float(default_stage_cost(fast_low, u, xT, cfg_s))
+        c_fast_high = float(default_stage_cost(fast_high, u, xT, cfg_s))
+        c_slow_low = float(default_stage_cost(slow_low, u, xT, cfg_s))
+        # gate: a fast descent near the ground is penalized hard...
+        assert c_fast_low > float(plain) + 100.0
+        # ...but the same speed at altitude is (almost) not
+        e_high = fast_high - xT
+        plain_high = float(e_high @ cfg.Q @ e_high + u @ cfg.R @ u)
+        assert c_fast_high < plain_high + 1e-3
+        # and a slow near-ground descent is much cheaper than a fast one
+        assert c_slow_low < c_fast_low / 2
+
     @pytest.mark.slow
     def test_ipm_episode_matches_admm_quality(self, seeded):
         """A closed-loop LMPC episode flown on the IPM lands with a total
