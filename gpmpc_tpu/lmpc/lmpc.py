@@ -91,35 +91,67 @@ class LMPCConfig:
     # row structure declared) — the same QP, solution-parity-tested against
     # the sparse z=[X;U;λ;s] form
     condensed: bool = struct.field(pytree_node=False, default=True)
-    # "admm" (OSQP semantics, the 800-iteration budget above) or "ipm"
-    # (Mehrotra predictor-corrector, condensed form only): the hull QP is
-    # near-LP, which is exactly where the IPM wins — ~15-20 Newton
-    # iterations reach a better objective at 1e-6 feasibility than the
-    # 800-iteration ADMM, 2.2x faster fleet rounds (see ops/qp/ipm.py).
-    # CAVEAT for fleet GROWTH runs: the sharper optimum exploits the soft
-    # terminal hull harder under the default cost — measured round-2
-    # touchdowns of ~2 m/s (vs ~0.9 for the sloppier ADMM), brushing the
-    # soft-landing gate; episodes terminate at the altitude crossing
-    # mid-horizon, so the faster swoop IS the cheaper plan. Pair the IPM
-    # with a touchdown-speed-aware stage cost (or a tighter success gate)
-    # before flying growth campaigns on it; single solves and frozen-set
-    # episodes are strictly better (tests/test_lmpc.py).
-    solver: str = struct.field(pytree_node=False, default="admm")
+    # "ipm" (default; Mehrotra predictor-corrector, condensed form only) or
+    # "admm" (OSQP semantics, the 800-iteration budget above). The hull QP
+    # is near-LP — the interior-point regime, and the reference's own LMPC
+    # solver class (CasADi/IPOPT, lmpc.py:366-399). Measured on it the IPM
+    # is strictly better: ~15-20 Newton iterations reach a better objective
+    # at 1e-6 feasibility than ADMM-800 (obj 8810.9 vs 8820.4, violation
+    # 9.5e-7 vs 8.7e-4), 2.2x faster fleet rounds — and far more ROBUST on
+    # cold dispersed starts: on 16 round-1 fleet QPs (single-seed safe set,
+    # dispersed ICs) the IPM solves 84-89% while ADMM's adaptive-ρ
+    # trajectory is chaotic — 44% at f32, 69% at f64, failing lanes stall
+    # at primal residual O(10) with ρ locked in a bad basin, and the
+    # episode fallback then flies a stale plan into the ground. ADMM stays
+    # available (and certified in tests) for OSQP-parity and for warm
+    # anchored solves, where both succeed.
+    # Fleet GROWTH caveat (either solver, worst with the sharper IPM):
+    # episodes terminate at the altitude crossing mid-horizon, so a faster
+    # swoop truncates the cost sum and each round lands harder than the
+    # last — pair growth campaigns with touchdown_speed_weight below.
+    solver: str = struct.field(pytree_node=False, default="ipm")
     ipm_iters: int = struct.field(pytree_node=False, default=20)
     # touchdown-speed shaping: extra velocity cost near the ground, gated
     # smoothly on below gate_altitude, applied to the EPISODE stage cost
     # (and hence the stored cost-to-go values). Without it the episode
     # terminates at the altitude crossing mid-horizon, so a fast swoop
-    # truncates the cost sum and IS the optimum — each fleet round lands
-    # harder than the last (measured; worst with the sharper IPM). The
-    # shaping steers through the value-learning pathway: hard landings get
-    # expensive Q-values, so the terminal Qᵀλ term avoids their vertices.
-    # Deliberately NOT added to the QP stage cost: stiff near-ground
-    # velocity weights make the subproblems thrust-infeasible and crash
-    # the fleet (measured: 85 m/s ballistic lanes at weight 2e4). 0 = off.
-    touchdown_speed_weight: float = 0.0
+    # truncates the cost sum and IS the optimum — touchdowns drift toward
+    # (and past) the 2 m/s success gate across LMPC iterations (measured
+    # with both solvers; the fleet's mean rose 1.08→1.42 m/s over 6
+    # unshaped IPM rounds and single-IC chains reached 2.05-2.12 m/s,
+    # churning rejected episodes). The shaping steers through the
+    # value-learning pathway only: hard landings store expensive Q-values,
+    # so the terminal Qᵀλ term avoids their vertices. Deliberately NOT
+    # added to the QP stage cost: stiff near-ground velocity weights make
+    # the subproblems thrust-infeasible and crash the fleet (measured:
+    # 85 m/s ballistic lanes at weight 2e4).
+    #
+    # The penalty is a hinge on EXCESS speed, (|v|² − free_speed²)₊, not on
+    # speed itself: pricing all near-ground motion distorts the seed
+    # trajectory's Q-values too (its own descent pays the gate), which
+    # steepens the terminal-cost gradient along the seed and sends round-1
+    # dispersed lanes ballistic reaching for deep vertices (measured:
+    # 1-2 crashed lanes/16 at weights 100-250 with a plain |v|² gate).
+    # With the hinge the ~0.7-1 m/s seed stores zero shaping cost, so the
+    # round-1 landscape is untouched and only faster-than-free swoops pay.
+    #
+    # Default 250, chosen on dispersed-fleet outcomes (the production
+    # workload): 6 IPM rounds hold 100% success with bounded touchdowns
+    # (~1.0-1.35 m/s) and the probe lane improving on the seed. Heavier
+    # weights are a trap: at 1000 a single-IC chain equilibrates beautifully
+    # (flat plain cost 20% under seed, ~1.7 m/s) but the FLEET destabilizes
+    # in later rounds (success 100%→87.5%, ballistic lanes) — once stored
+    # episodes carry shaping cost the terminal-Q gradient steepens, the
+    # same mechanism that crashes round 1 under a non-hinged gate. At 250 a
+    # single-IC chain rides the 2 m/s gate by episode 3 and churns
+    # rejections, but realized plain cost stays flat 16% under the seed —
+    # the gate simply stops absorbing worse vertices. 0 = off (touchdowns
+    # drift through the success gate). All figures measured, 16-lane CPU
+    # fleets / 4-episode chains, 2026-08-18.
+    touchdown_speed_weight: float = 250.0
     touchdown_gate_altitude: float = 1.5
     touchdown_gate_width: float = 0.25
+    touchdown_free_speed: float = 1.0
 
 
 class LMPCSolution(NamedTuple):
@@ -245,8 +277,11 @@ def lmpc_solve(
                 IPMConfig(n_eq=n_x + 1, iters=config.ipm_iters),
             )
         else:
+            # slack warm start at its true value for the λ warm start
+            # (x_N − v_nearest): the hull equality rows then start feasible
+            s0 = X_sim[-1] - (lam0 @ res.states)
             z0 = jnp.concatenate(
-                [state.U_lin.reshape(-1), lam0, jnp.zeros(n_x)])
+                [state.U_lin.reshape(-1), lam0, s0])
             admm = config.admm
             if admm.row_structure is None:
                 # declare the condensed base rows' structure (the hull rows
@@ -294,8 +329,9 @@ def lmpc_solve(
         A = A.at[m_base:, :].set(A_hull)
         l = jnp.concatenate([l_base, l_hull])
         u = jnp.concatenate([u_base, u_hull])
+        s0 = X_sim[-1] - (lam0 @ res.states)
         z0 = jnp.concatenate(
-            [join_z(state.X_lin, state.U_lin), lam0, jnp.zeros(n_x)])
+            [join_z(state.X_lin, state.U_lin), lam0, s0])
         sol = solve(QPData(P=P, q=q, A=A, l=l, u=u), z0, None, config.admm,
                     rho0=state.rho)
         X_new, U_new = split_z(sol.x[:nz], N, n_x, n_u)
@@ -341,9 +377,12 @@ def default_stage_cost(x: Array, u: Array, x_target: Array, config: LMPCConfig) 
     gate = jax.nn.sigmoid(
         (config.touchdown_gate_altitude - x[1]) / config.touchdown_gate_width
     )
+    excess = jnp.maximum(
+        0.0, jnp.sum(x[4:7] ** 2) - config.touchdown_free_speed**2
+    )
     return (
         e @ config.Q @ e + u @ config.R @ u
-        + config.touchdown_speed_weight * gate * jnp.sum(x[4:7] ** 2)
+        + config.touchdown_speed_weight * gate * excess
     )
 
 
