@@ -27,7 +27,16 @@ import jax.numpy as jnp
 from flax import struct
 
 from ..dynamics.linearize import trajectory_jacobians
-from ..ops.qp import ADMMConfig, SOLVED, build_mpc_qp, join_z, solve, split_z
+from ..ops.qp import (
+    ADMMConfig,
+    IPMConfig,
+    SOLVED,
+    build_mpc_qp,
+    join_z,
+    solve,
+    solve_ipm,
+    split_z,
+)
 from ..ops.qp.admm import _factor, _rho_vec
 from ..ops.qp.condensed import build_condensed_qp, recover_states
 from ..ops.qp.mpc_qp import build_stage_rows, extend_qp
@@ -100,6 +109,22 @@ def _solve_qp(config, state, Aks, Bks, cks, x_current, z0_XU, y0):
             config.Gx, config.gx_l, config.gx_u,
             config.Gu, config.gu_l, config.gu_u,
         )
+        if config.solver == "ipm":
+            # Mehrotra IPM on the condensed box(+facet) QP: no equality rows
+            # (x0 is eliminated), so n_eq=0. ~15-20 Newton iterations of
+            # MXU-shaped normal-equation factorizations replace ~100 ADMM
+            # HBM-streaming matvec iterations — a bench variant; the ADMM
+            # default carries OSQP parity and warm-start semantics. The IPM
+            # has no penalty/KKT carry, so ρ rides through unchanged.
+            if config.warm_kkt:
+                raise ValueError("solver='ipm' does not compose with "
+                                 "warm_kkt (no KKT inverse to carry)")
+            sol = solve_ipm(
+                data, IPMConfig(n_eq=0, iters=config.ipm_iters)
+            ).replace(rho=state.rho)
+            U_sol = sol.x.reshape(N, config.n_u)
+            X_sol = recover_states(Gs, ds, sol.x, x_current)
+            return sol, X_sol, U_sol
         admm = _condensed_admm_cfg(config)
         if config.warm_kkt:
             sol = solve(
@@ -114,6 +139,10 @@ def _solve_qp(config, state, Aks, Bks, cks, x_current, z0_XU, y0):
         U_sol = sol.x.reshape(N, config.n_u)
         X_sol = recover_states(Gs, ds, sol.x, x_current)
         return sol, X_sol, U_sol
+    if config.solver == "ipm":
+        raise ValueError(
+            "solver='ipm' requires the condensed form (the sparse z=[X;U] "
+            "layout interleaves its dynamics equality rows)")
     data = _build_rti_qp(config, Aks, Bks, cks, x_current, state.x_ref)
     if config.warm_kkt:
         sol = solve(
@@ -164,6 +193,14 @@ class RTIConfig:
     admm: ADMMConfig = struct.field(
         default_factory=lambda: ADMMConfig(max_iter=100, polish=True)
     )
+    # "admm" (default: OSQP semantics, warm starts, ρ/KKT carry — the
+    # certified real-time path) or "ipm" (condensed only): a bench variant
+    # replacing ~100 HBM-streaming matvec iterations with ~15-20 Newton
+    # iterations of batched normal-equation factorizations. Closed-loop
+    # landing parity is tested; per-chip wall time is hardware-dependent
+    # (measure with scripts/bench_variants.py).
+    solver: str = struct.field(pytree_node=False, default="admm")
+    ipm_iters: int = struct.field(pytree_node=False, default=20)
     warm_start_duals: bool = struct.field(pytree_node=False, default=True)
     # accept a plan whose primal residual is below this even when the dual
     # termination test has not fired (warm-started RTI plans are primal-

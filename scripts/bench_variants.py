@@ -2,7 +2,8 @@
 """Compare RTI cycle variants on the live backend (bench.py methodology).
 
 Usage: python scripts/bench_variants.py [BATCH] [STEPS] [variant ...]
-Variants: sparse_warm, sparse_chol, cond, cond_pallas, cond25, cond_adapt
+Variants: sparse_warm, sparse_chol, cond, cond_pallas, cond25, cond_adapt,
+          cond_ipm, cond_ipm12
 """
 
 import sys
@@ -53,6 +54,11 @@ VARIANTS = {
         admm=ADMMConfig(max_iter=50, polish=False, rho_adapt_chunks=1,
                         scaling=3, use_pallas="off"),
     ),
+    # Mehrotra IPM on the condensed QP: ~15-20 Newton iterations of batched
+    # normal-equation factorizations instead of ~50-100 HBM-streaming ADMM
+    # matvecs (closed-loop landing parity tested in tests/test_mpc.py)
+    "cond_ipm": RTIConfig(N=N, condensed=True, solver="ipm"),
+    "cond_ipm12": RTIConfig(N=N, condensed=True, solver="ipm", ipm_iters=12),
 }
 
 p = Rocket3DoFParams()
