@@ -22,7 +22,16 @@ import jax.numpy as jnp
 from flax import struct
 
 from ..dynamics.linearize import trajectory_jacobians
-from ..ops.qp import SOLVED, build_mpc_qp, extend_qp, join_z, solve, split_z
+from ..ops.qp import (
+    IPMConfig,
+    SOLVED,
+    build_mpc_qp,
+    extend_qp,
+    join_z,
+    solve,
+    solve_ipm,
+    split_z,
+)
 from ..ops.qp.admm import _factor, _rho_vec
 from ..ops.qp.condensed import build_condensed_qp, recover_states
 from ..ops.qp.ruiz import Scaling, ruiz_equilibrate
@@ -212,13 +221,27 @@ def gp_mpc_solve(
                 Xlo, Xhi, Ulo, Uhi,
                 cfg.Gx, cfg.gx_l, cfg.gx_u, cfg.Gu, cfg.gu_l, cfg.gu_u,
             )
-            sol = solve(
-                data, U_lin.reshape(-1), y_prev, _condensed_admm_cfg(cfg),
-                rho0=rho,
-            )
+            if cfg.solver == "ipm":
+                # Mehrotra IPM on the condensed trust-region QP (box rows
+                # only after state elimination → n_eq=0) — the same bench
+                # variant as RTIConfig(solver='ipm'); the ADMM workspace
+                # carry (ρ, duals) rides through unchanged so a mixed
+                # schedule could hand back to ADMM warm.
+                sol = solve_ipm(
+                    data, IPMConfig(n_eq=0, iters=cfg.ipm_iters)
+                ).replace(rho=rho)
+            else:
+                sol = solve(
+                    data, U_lin.reshape(-1), y_prev, _condensed_admm_cfg(cfg),
+                    rho0=rho,
+                )
             U_new = sol.x.reshape(N, n_u)
             X_new = recover_states(Gs, ds, sol.x, x0)
         else:
+            if cfg.solver == "ipm":
+                raise ValueError(
+                    "solver='ipm' requires the condensed form (the sparse "
+                    "z=[X;U] layout interleaves its dynamics equality rows)")
             data = build_mpc_qp(
                 Aks, Bks, cks, x0, cfg.Q, cfg.R, cfg.Qf, state.x_ref,
                 Xlo, Xhi, Ulo, Uhi,

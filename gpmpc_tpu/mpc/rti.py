@@ -197,8 +197,12 @@ class RTIConfig:
     # certified real-time path) or "ipm" (condensed only): a bench variant
     # replacing ~100 HBM-streaming matvec iterations with ~15-20 Newton
     # iterations of batched normal-equation factorizations. Closed-loop
-    # landing parity is tested; per-chip wall time is hardware-dependent
-    # (measure with scripts/bench_variants.py).
+    # landing parity is tested UNDER REFERENCE TRACKING (the supported
+    # configuration); with a bare go-to-target cost the exact solver
+    # descends measurably faster than the sloppier ADMM (2.3 vs 0.8 m/s
+    # touchdown on the 3-DoF drive) — same sharp-solver-exploits-the-cost
+    # effect as LMPCConfig's touchdown shaping notes. Per-chip wall time is
+    # hardware-dependent (measure with scripts/bench_variants.py).
     solver: str = struct.field(pytree_node=False, default="admm")
     ipm_iters: int = struct.field(pytree_node=False, default=20)
     warm_start_duals: bool = struct.field(pytree_node=False, default=True)

@@ -65,6 +65,14 @@ VARIANTS = {
                       pallas="lanes"),
     "1x100_lanes25": mk(100, 25, 1e-2, True, scp=1, certs=False,
                         pallas="lanes"),
+    # Mehrotra IPM subproblem solver (~15-20 Newton factorizations instead
+    # of 100 streamed ADMM matvecs; closed-loop parity tested)
+    "1x_ipm": GPMPCConfig(
+        base=RTIConfig(N=N, condensed=True, solver="ipm"),
+        scp_iterations=1, tighten=True, rollout_gp_tape=True),
+    "1x_ipm12": GPMPCConfig(
+        base=RTIConfig(N=N, condensed=True, solver="ipm", ipm_iters=12),
+        scp_iterations=1, tighten=True, rollout_gp_tape=True),
 }
 
 x0s = jnp.tile(jnp.array([2.0, 30.0, 0.0, 0.0, -3.0, 0.0, 0.0]), (BATCH, 1))

@@ -323,6 +323,11 @@ class TestGPMPCWarmKKT:
                                     polish=False, adaptive_rho=False,
                                     scaling=3, infeas_certs=False)),
                 scp_iterations=1, tighten=True, rollout_gp_tape=True),
+            # the IPM bench variant on the same real-time SCP settings: the
+            # trust-region subproblem solver swaps, everything else rides
+            "realtime_ipm": GPMPCConfig(
+                base=RTIConfig(N=20, condensed=True, solver="ipm"),
+                scp_iterations=1, tighten=True, rollout_gp_tape=True),
         }
         results = {}
         for label, cfg in configs.items():
@@ -355,10 +360,12 @@ class TestGPMPCWarmKKT:
             perr = np.linalg.norm(np.asarray(xf)[:, 2:4], axis=1)
             assert float(perr.max()) < 0.5, label
             results[label] = np.asarray(xf)
-        # the two configurations reach the same touchdowns to within the
+        # the configurations reach the same touchdowns to within the
         # inexact-iteration noise that accumulates over ~100 cycles
         np.testing.assert_allclose(
             results["realtime"], results["conservative"], atol=0.25)
+        np.testing.assert_allclose(
+            results["realtime_ipm"], results["conservative"], atol=0.25)
 
 
 class TestGPMPC6DoF:
