@@ -201,8 +201,11 @@ class RTIConfig:
     # configuration); with a bare go-to-target cost the exact solver
     # descends measurably faster than the sloppier ADMM (2.3 vs 0.8 m/s
     # touchdown on the 3-DoF drive) — same sharp-solver-exploits-the-cost
-    # effect as LMPCConfig's touchdown shaping notes. Per-chip wall time is
-    # hardware-dependent (measure with scripts/bench_variants.py).
+    # effect as LMPCConfig's touchdown shaping notes. The 6-DoF cone-
+    # constrained stack (8+8 facet rows) also runs on it: measured 0.151 vs
+    # 0.309 m/s touchdown, 100% solve success, reference-tracked closed
+    # loop. Per-chip wall time is hardware-dependent (measure with
+    # scripts/bench_variants.py).
     solver: str = struct.field(pytree_node=False, default="admm")
     ipm_iters: int = struct.field(pytree_node=False, default=20)
     warm_start_duals: bool = struct.field(pytree_node=False, default=True)

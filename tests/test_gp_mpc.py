@@ -429,6 +429,55 @@ class TestGPMPC6DoF:
         assert float(jnp.trace(sol.Sigmas[-1])) > 0
 
 
+class TestGPMPC6DoFIPM:
+    @pytest.mark.slow
+    def test_ipm_solves_cone_constrained_6dof(self):
+        """The IPM bench variant on the 6-DoF cone-constrained stack: the
+        condensed QP's facet rows (8 gimbal + 8 glideslope per stage) are
+        two-sided general inequalities, exactly the row type the IPM's
+        fraction-to-boundary steps must handle. Short reference-tracked
+        descent must land softly with every subproblem accepted (full
+        campaign arm measured 0.151 vs ADMM's 0.309 m/s touchdown)."""
+        from gpmpc_tpu.dynamics import Rocket6DoFParams, rocket6dof as r6
+        from gpmpc_tpu.mpc import (
+            GPMPCConfig, gp_mpc_init, gp_mpc_solve, rti_config_6dof)
+        from gpmpc_tpu.reference import cubic_descent_reference
+
+        p = Rocket6DoFParams()
+        N = 20
+        mean_fn = lambda x, u: jnp.zeros(14)
+        var_fn = lambda x, u: jnp.zeros(6)
+        base = rti_config_6dof(
+            p, N=N, cone_facets=8, glideslope_facets=8
+        ).replace(condensed=True, solver="ipm")
+        cfg = GPMPCConfig(base=base, scp_iterations=2, tighten=True)
+        dt = base.dt
+        F = lambda x, u: r6.step(p, x, u, dt)
+        xT = r6.create_initial_state(p, altitude=0.0)
+        x0 = r6.create_initial_state(
+            p, altitude=8.0, horizontal=(0.3, -0.3), velocity=(-1.5, 0.05, -0.05))
+        Xr = cubic_descent_reference(x0, xT, 60, dt)
+        Xrf = jnp.concatenate([Xr, jnp.tile(Xr[-1:], (N + 2, 1))])
+        st = gp_mpc_init(cfg, x0, xT).replace(x_ref=Xr[: N + 1])
+
+        step_jit = jax.jit(lambda s, x, k: gp_mpc_solve(
+            F, mean_fn, var_fn, cfg,
+            s.replace(x_ref=jax.lax.dynamic_slice_in_dim(Xrf, k, N + 1, 0)),
+            x))
+        x, k, succ, landed = x0, 0, [], False
+        for t in range(90):
+            sol, st = step_jit(st, x, k)
+            x = F(x, sol.u0)
+            k = min(k + 1, 60)
+            succ.append(bool(sol.success))
+            if float(x[1]) < 0.1:
+                landed = True
+                break
+        assert landed
+        assert float(jnp.linalg.norm(x[4:7])) < 1.0
+        assert sum(succ) / len(succ) > 0.95
+
+
 class TestGPMPC6DoFTightening:
     @pytest.mark.slow
     def test_high_variance_gp_keeps_qps_feasible(self):
