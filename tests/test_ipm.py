@@ -91,6 +91,27 @@ class TestIPMOracleParity:
             np.testing.assert_allclose(
                 np.asarray(sols.x[i]), z_ref, atol=4e-3)
 
+    def test_vmapped_matches_single_lane_outcome(self):
+        """Solution parity between vmapped and single-lane execution. The
+        batched ADMM's adaptive-ρ showed outcome FLIPS between the two
+        (batched-kernel rounding steers the ρ trajectory into a different
+        basin — the finding behind the LMPC solver default); the IPM's
+        Newton path must stay basin-free: same status and the same primal
+        point up to the f32 floor either way."""
+        for seed in range(4):
+            P, q, A, l, u = _random_feasible_qp(seed)
+            Pf, qf, Af, lf, uf = _f32(P, q, A, l, u)
+            cfg = IPMConfig(n_eq=3, iters=25)
+            single = jax.jit(lambda: solve_ipm(
+                QPData(P=Pf, q=qf, A=Af, l=lf, u=uf), cfg))()
+            batched = jax.jit(jax.vmap(lambda d: solve_ipm(d, cfg)))(
+                QPData(*[jnp.stack([v, v]) for v in (Pf, qf, Af, lf, uf)]))
+            assert int(single.status) == int(batched.status[0])
+            np.testing.assert_allclose(
+                np.asarray(batched.x[0]), np.asarray(single.x), atol=2e-3)
+            np.testing.assert_allclose(
+                np.asarray(batched.x[0]), np.asarray(batched.x[1]), atol=0)
+
     def test_duals_approximate_stationarity(self):
         """The solver is primal-focused (solve_ipm docstring): duals are
         f32-approximate, so stationarity is asserted loosely relative to
