@@ -57,3 +57,19 @@ class TestScriptSmokes:
             "run_fleet_lmpc_tpu.py", "--cpu", "--batch", "4", "--rounds", "2",
             "--steps", "120")
         assert "FLEET LMPC: PASS" in out
+
+    def test_fleet_lmpc_checkpoint_resume(self, tmp_path):
+        """Interrupted-campaign recovery — the path that gets exercised for
+        real when the TPU relay dies mid-campaign: run 1 round with a
+        checkpoint dir, then ask for 2 rounds against the same dir; the
+        second invocation must resume after round 1 (not refly it) and
+        still pass the campaign gate."""
+        ck = str(tmp_path / "ck")
+        run_script(
+            "run_fleet_lmpc_tpu.py", "--cpu", "--batch", "4", "--rounds",
+            "1", "--steps", "120", "--checkpoint", ck)
+        out = run_script(
+            "run_fleet_lmpc_tpu.py", "--cpu", "--batch", "4", "--rounds",
+            "2", "--steps", "120", "--checkpoint", ck)
+        assert "resumed after round 1" in out
+        assert "FLEET LMPC: PASS" in out
