@@ -199,8 +199,14 @@ def main() -> int:
                 out["steps"].astype(jnp.float32))), 1),
             "qp_success_rate": round(float(jnp.mean(
                 out["qp_success_rate"])), 4),
-            "touchdown_speed_mean": round(float(jnp.mean(
-                jnp.linalg.norm(out["x_final"][:, 4:7], axis=1))), 3),
+            # over LANDED lanes only: a single ballistic lane's |v|~1e2
+            # would otherwise swamp the fleet's touchdown statistics
+            "touchdown_speed_mean": round(float(
+                jnp.sum(jnp.where(
+                    out["landed"],
+                    jnp.linalg.norm(out["x_final"][:, 4:7], axis=1), 0.0))
+                / jnp.maximum(jnp.sum(
+                    out["landed"].astype(jnp.float32)), 1.0)), 3),
             "safe_set_trajectories": n_traj,
             "wall_s": round(dt_round, 1),
             "lmpc_cycles_per_s": round(
