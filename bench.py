@@ -32,6 +32,7 @@ cycles per dispatch) to amortize the ~40 ms relay round trip.
 """
 
 import json
+import os
 import sys
 import time
 
@@ -222,6 +223,11 @@ def main():
         "vs_baseline": round(gp_sps_chip / 50.0, 2),
         "detail": {
             "devices": [str(d) for d in jax.devices()],
+            # set when the TPU relay was unreachable and the bench re-ran
+            # on the host CPU (see _backend_or_cpu_fallback) — the number
+            # is then a vast UNDERSTATEMENT of the chip throughput
+            "cpu_fallback": os.environ.get(
+                "GPMPC_BENCH_CPU_FALLBACK") == "1",
             "batch": BATCH,
             "gp_mpc_cycle_wall_ms": round(gp_cycle_ms, 2),
             "gp_mpc_meets_50hz_in_lockstep": gp_cycle_ms < 20.0,
@@ -241,5 +247,45 @@ def main():
     print(json.dumps(result))
 
 
+def _backend_or_cpu_fallback(probe_timeout_s=600):
+    """Guard against a dead TPU relay: backend init on the tunneled axon
+    platform can HANG indefinitely (measured: >25 min with no error) rather
+    than fail. Probe `jax.devices()` in a daemon thread; on timeout,
+    re-exec this process pinned to the CPU backend so the driver always
+    receives one honest JSON line (vs_baseline stays meaningful — the
+    50 solves/s baseline is the reference's CPU budget) instead of a hang.
+    Re-exec (not config.update) because the hung axon client creation is
+    unkillable in-process.
+    """
+    import os
+    import threading
+
+    if os.environ.get("GPMPC_BENCH_CPU_FALLBACK") == "1":
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+        return
+    got = {}
+
+    def probe():
+        import jax
+
+        got["devices"] = jax.devices()
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    t.join(probe_timeout_s)
+    if "devices" not in got:
+        print(
+            f"# backend init exceeded {probe_timeout_s}s (tunnel down?) — "
+            "re-exec on CPU", file=sys.stderr, flush=True)
+        os.execve(
+            sys.executable, [sys.executable, *sys.argv],
+            {**os.environ, "JAX_PLATFORMS": "cpu",
+             "GPMPC_BENCH_CPU_FALLBACK": "1"},
+        )
+
+
 if __name__ == "__main__":
+    _backend_or_cpu_fallback()
     main()
