@@ -73,6 +73,9 @@ VARIANTS = {
     "1x_ipm12": GPMPCConfig(
         base=RTIConfig(N=N, condensed=True, solver="ipm", ipm_iters=12),
         scp_iterations=1, tighten=True, rollout_gp_tape=True),
+    "1x_ipm10": GPMPCConfig(
+        base=RTIConfig(N=N, condensed=True, solver="ipm", ipm_iters=10),
+        scp_iterations=1, tighten=True, rollout_gp_tape=True),
 }
 
 x0s = jnp.tile(jnp.array([2.0, 30.0, 0.0, 0.0, -3.0, 0.0, 0.0]), (BATCH, 1))

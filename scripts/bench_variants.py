@@ -59,6 +59,9 @@ VARIANTS = {
     # matvecs (closed-loop landing parity tested in tests/test_mpc.py)
     "cond_ipm": RTIConfig(N=N, condensed=True, solver="ipm"),
     "cond_ipm12": RTIConfig(N=N, condensed=True, solver="ipm", ipm_iters=12),
+    # landing quality saturates at 10 Newton iters (CPU sweep: identical
+    # touchdown state for 10-20; 8 still lands at 0.34 m/s)
+    "cond_ipm10": RTIConfig(N=N, condensed=True, solver="ipm", ipm_iters=10),
 }
 
 p = Rocket3DoFParams()
