@@ -56,6 +56,10 @@ def main():
     N = 20
     BATCH = int(sys.argv[1]) if len(sys.argv) > 1 else 512
     STEPS = int(sys.argv[2]) if len(sys.argv) > 2 else 10  # cycles per dispatch
+    # optional third arg "ipm": bench the Mehrotra-IPM subproblem solver
+    # instead of ADMM (landing parity tested; 24% faster on the CPU
+    # backend at batch 64 — chip timing decides the flagship)
+    SOLVER = sys.argv[3] if len(sys.argv) > 3 else "admm"
     N_WINDOWS = 4
     SCP_ITERS = 1  # real-time iteration; see module docstring
 
@@ -89,6 +93,10 @@ def main():
         ),
         scp_iterations=SCP_ITERS, tighten=True, rollout_gp_tape=True,
     )
+    if SOLVER == "ipm":
+        rti_cfg = rti_cfg.replace(solver="ipm", ipm_iters=10)
+        gp_cfg = gp_cfg.replace(
+            base=gp_cfg.base.replace(solver="ipm", ipm_iters=10))
 
     x0s = jnp.tile(jnp.array([2.0, 30.0, 0.0, 0.0, -3.0, 0.0, 0.0]), (BATCH, 1))
     x0s = x0s.at[:, 1].add(jnp.linspace(0.0, 5.0, BATCH))
