@@ -57,8 +57,10 @@ def main():
     BATCH = int(sys.argv[1]) if len(sys.argv) > 1 else 512
     STEPS = int(sys.argv[2]) if len(sys.argv) > 2 else 10  # cycles per dispatch
     # optional third arg "ipm": bench the Mehrotra-IPM subproblem solver
-    # instead of ADMM (landing parity tested; 24% faster on the CPU
-    # backend at batch 64 — chip timing decides the flagship)
+    # instead of ADMM (landing parity tested; on a quiet CPU backend the
+    # ADMM is 2.2x faster at batch 64 — chip timing decides the flagship:
+    # the TPU trade differs, ADMM streams HBM 100x/solve while the IPM
+    # rides the MXU with ~10 batched factorizations)
     SOLVER = sys.argv[3] if len(sys.argv) > 3 else "admm"
     N_WINDOWS = 4
     SCP_ITERS = 1  # real-time iteration; see module docstring
