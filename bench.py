@@ -62,6 +62,8 @@ def main():
     # the TPU trade differs, ADMM streams HBM 100x/solve while the IPM
     # rides the MXU with ~10 batched factorizations)
     SOLVER = sys.argv[3] if len(sys.argv) > 3 else "admm"
+    if SOLVER not in ("admm", "ipm"):
+        raise SystemExit(f"unknown solver {SOLVER!r}: use 'admm' or 'ipm'")
     N_WINDOWS = 4
     SCP_ITERS = 1  # real-time iteration; see module docstring
 
@@ -226,7 +228,7 @@ def main():
         "metric": (
             f"GP-MPC solves/sec/chip (N={N}, batch={BATCH}, {SCP_ITERS} SCP "
             f"iters, fitted sparse-GP posterior mean+var per knot per iter, "
-            f"chance tightening, condensed QP, incl. plant step)"
+            f"chance tightening, condensed QP [{SOLVER}], incl. plant step)"
         ),
         "value": round(gp_sps_chip, 1),
         "unit": "solves/s/chip",
@@ -238,6 +240,7 @@ def main():
             # is then a vast UNDERSTATEMENT of the chip throughput
             "cpu_fallback": os.environ.get(
                 "GPMPC_BENCH_CPU_FALLBACK") == "1",
+            "solver": SOLVER,
             "batch": BATCH,
             "gp_mpc_cycle_wall_ms": round(gp_cycle_ms, 2),
             "gp_mpc_meets_50hz_in_lockstep": gp_cycle_ms < 20.0,

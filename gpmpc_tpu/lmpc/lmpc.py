@@ -300,10 +300,16 @@ def lmpc_solve(
         slack = sol.x[nu + K :]
     else:
         if config.solver == "ipm":
-            raise ValueError(
-                "solver='ipm' requires the condensed form (the sparse "
-                "z=[X;U;λ;s] layout interleaves its equality rows)"
-            )
+            # the sparse z=[X;U;λ;s] layout interleaves its equality rows,
+            # which the IPM contract (equality rows last) cannot express —
+            # and "ipm" is the DEFAULT, so raising here would break the
+            # previously-valid LMPCConfig(condensed=False) construction.
+            # Fall back to the certified ADMM path for the sparse form.
+            import warnings
+
+            warnings.warn(
+                "LMPC sparse form solves on ADMM (solver='ipm' applies to "
+                "the condensed form only)", stacklevel=2)
         # sparse z = [X; U; λ; s]
         P_base, q_base = build_cost(
             N, config.Q, config.R, jnp.zeros((n_x, n_x)), state.x_ref
@@ -374,16 +380,21 @@ def lmpc_solve(
 
 def default_stage_cost(x: Array, u: Array, x_target: Array, config: LMPCConfig) -> Array:
     e = x - x_target
+    quad = e @ config.Q @ e + u @ config.R @ u
+    if config.n_x != 7:
+        # the touchdown gate hardcodes the 3-DoF layout (altitude x[1],
+        # velocity x[4:7]); on any other state layout the shaping indices
+        # would silently price the wrong components — plain quadratic there
+        # (pass a stage_cost_fn to the episode runners to shape custom
+        # layouts)
+        return quad
     gate = jax.nn.sigmoid(
         (config.touchdown_gate_altitude - x[1]) / config.touchdown_gate_width
     )
     excess = jnp.maximum(
         0.0, jnp.sum(x[4:7] ** 2) - config.touchdown_free_speed**2
     )
-    return (
-        e @ config.Q @ e + u @ config.R @ u
-        + config.touchdown_speed_weight * gate * excess
-    )
+    return quad + config.touchdown_speed_weight * gate * excess
 
 
 def fly_episode(

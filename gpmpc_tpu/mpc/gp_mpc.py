@@ -224,12 +224,14 @@ def gp_mpc_solve(
             if cfg.solver == "ipm":
                 # Mehrotra IPM on the condensed trust-region QP (box rows
                 # only after state elimination → n_eq=0) — the same bench
-                # variant as RTIConfig(solver='ipm'); the ADMM workspace
-                # carry (ρ, duals) rides through unchanged so a mixed
-                # schedule could hand back to ADMM warm.
+                # variant as RTIConfig(solver='ipm'). The ADMM workspace
+                # carry (ρ AND duals) rides through untouched: solve_ipm's
+                # duals are f32-approximate and its own contract forbids
+                # warm-starting from them, so y_prev keeps the last ADMM
+                # dual in case a schedule hands back.
                 sol = solve_ipm(
                     data, IPMConfig(n_eq=0, iters=cfg.ipm_iters)
-                ).replace(rho=rho)
+                ).replace(rho=rho, y=y_prev)
             else:
                 sol = solve(
                     data, U_lin.reshape(-1), y_prev, _condensed_admm_cfg(cfg),

@@ -115,13 +115,15 @@ def _solve_qp(config, state, Aks, Bks, cks, x_current, z0_XU, y0):
             # MXU-shaped normal-equation factorizations replace ~100 ADMM
             # HBM-streaming matvec iterations — a bench variant; the ADMM
             # default carries OSQP parity and warm-start semantics. The IPM
-            # has no penalty/KKT carry, so ρ rides through unchanged.
+            # has no penalty/KKT carry, so ρ rides through unchanged, and
+            # its f32-approximate duals must NOT enter the carried dual
+            # warm start (solve_ipm contract) — y0 rides through instead.
             if config.warm_kkt:
                 raise ValueError("solver='ipm' does not compose with "
                                  "warm_kkt (no KKT inverse to carry)")
             sol = solve_ipm(
                 data, IPMConfig(n_eq=0, iters=config.ipm_iters)
-            ).replace(rho=state.rho)
+            ).replace(rho=state.rho, y=y0)
             U_sol = sol.x.reshape(N, config.n_u)
             X_sol = recover_states(Gs, ds, sol.x, x_current)
             return sol, X_sol, U_sol

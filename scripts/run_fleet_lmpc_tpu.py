@@ -97,6 +97,23 @@ def main() -> int:
                          "resumes from the last completed round")
     args = ap.parse_args()
 
+    # a resumed campaign must keep the solver + stage-cost shaping it
+    # started with: every stored Q-value, probe cost, and the seed's own
+    # cost-to-go are on that scale, and mixing weights would compare
+    # cost-to-go across two different cost functions. Pin from meta BEFORE
+    # the seed/closures are built.
+    if args.checkpoint:
+        meta_file = Path(args.checkpoint) / "meta.json"
+        if meta_file.exists():
+            meta = json.loads(meta_file.read_text())
+            for field, key in (("solver", "solver"),
+                               ("touchdown_weight", "touchdown_speed_weight")):
+                val = meta.get(key)
+                if val is not None and getattr(args, field) != val:
+                    print(f"resume: pinning --{field.replace('_', '-')} "
+                          f"{getattr(args, field)} -> {val} (campaign meta)")
+                    setattr(args, field, val)
+
     import jax
 
     if args.cpu:
@@ -162,13 +179,19 @@ def main() -> int:
         if meta_file.exists():
             # the capacity is part of the stored shapes: a resume must use
             # the capacity the campaign started with, whatever --rounds says
+            # (solver/shaping were already pinned from meta before the seed
+            # was built — see the top of main)
             cap = json.loads(meta_file.read_text())["capacity"]
             if cap != ss.capacity:
                 ss = SafeSet.create(cap, 7)
                 ss = ss.add_trajectory(Xs, Us, Cs)
         else:
             meta_file.parent.mkdir(parents=True, exist_ok=True)
-            meta_file.write_text(json.dumps({"capacity": cap}))
+            meta_file.write_text(json.dumps({
+                "capacity": cap,
+                "solver": args.solver,
+                "touchdown_speed_weight": args.touchdown_weight,
+            }))
         done_rounds, ss_restored = ckpt.restore_latest(ss)
         if done_rounds is not None:
             ss = ss_restored
@@ -200,13 +223,15 @@ def main() -> int:
             "qp_success_rate": round(float(jnp.mean(
                 out["qp_success_rate"])), 4),
             # over LANDED lanes only: a single ballistic lane's |v|~1e2
-            # would otherwise swamp the fleet's touchdown statistics
-            "touchdown_speed_mean": round(float(
-                jnp.sum(jnp.where(
+            # would otherwise swamp the fleet's touchdown statistics.
+            # None (not 0.0 — the best possible value) when nothing landed.
+            "touchdown_speed_mean": (
+                round(float(jnp.sum(jnp.where(
                     out["landed"],
                     jnp.linalg.norm(out["x_final"][:, 4:7], axis=1), 0.0))
-                / jnp.maximum(jnp.sum(
-                    out["landed"].astype(jnp.float32)), 1.0)), 3),
+                    / n_landed), 3)
+                if (n_landed := float(jnp.sum(
+                    out["landed"].astype(jnp.float32)))) > 0 else None),
             "safe_set_trajectories": n_traj,
             "wall_s": round(dt_round, 1),
             "lmpc_cycles_per_s": round(
@@ -220,7 +245,7 @@ def main() -> int:
             rounds_file.write_text(json.dumps(rounds))
 
     wall = time.time() - t_start
-    rounds_run = max(args.rounds - first_round, 1)  # throughput = this run
+    rounds_run = args.rounds - first_round  # throughput = this run only
     result = {
         "campaign": "fleet_lmpc_3dof",
         "controller": "LMPC (condensed hull QP, fuel-filtered KNN terminal set)",
@@ -241,9 +266,13 @@ def main() -> int:
         ),
         "final_success_rate": rounds[-1]["success_rate"],
         "episodes_flown": args.batch * len(rounds),
-        "episodes_per_s": round(args.batch * rounds_run / wall, 2),
-        "lmpc_cycles_per_s": round(
-            args.batch * args.steps * rounds_run / wall, 1),
+        # None when a completed campaign is re-invoked (nothing flown this
+        # run — dividing by the ~0s wall would fabricate throughput)
+        "episodes_per_s": (round(args.batch * rounds_run / wall, 2)
+                           if rounds_run > 0 else None),
+        "lmpc_cycles_per_s": (
+            round(args.batch * args.steps * rounds_run / wall, 1)
+            if rounds_run > 0 else None),
         "wall_s": round(wall, 1),
         "per_round": rounds,
     }
