@@ -57,10 +57,12 @@ def main():
     BATCH = int(sys.argv[1]) if len(sys.argv) > 1 else 512
     STEPS = int(sys.argv[2]) if len(sys.argv) > 2 else 10  # cycles per dispatch
     # optional third arg "ipm": bench the Mehrotra-IPM subproblem solver
-    # instead of ADMM (landing parity tested; on a quiet CPU backend the
-    # ADMM is 2.2x faster at batch 64 — chip timing decides the flagship:
-    # the TPU trade differs, ADMM streams HBM 100x/solve while the IPM
-    # rides the MXU with ~10 batched factorizations)
+    # instead of ADMM (landing parity tested). Measured on the v5e chip
+    # (2026-08-18, batch 512): ADMM 16.0 ms/cycle GP-MPC vs IPM 47.5 ms —
+    # the 10 batched 60x60 factorizations + triangular solves per IPM
+    # solve lose to the ADMM's streamed matvecs at this operator size, so
+    # ADMM stays the flagship; the IPM remains the LMPC hull-QP solver
+    # where ADMM's adaptive-rho is fragile (docs/architecture.md)
     SOLVER = sys.argv[3] if len(sys.argv) > 3 else "admm"
     if SOLVER not in ("admm", "ipm"):
         raise SystemExit(f"unknown solver {SOLVER!r}: use 'admm' or 'ipm'")

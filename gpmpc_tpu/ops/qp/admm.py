@@ -60,6 +60,14 @@ class ADMMConfig:
 
     max_iter: int = struct.field(pytree_node=False, default=250)
     check_interval: int = struct.field(pytree_node=False, default=25)
+    # batch-global early exit: run the post-adaptation iteration chunks
+    # under a while_loop that stops once EVERY lane in the vmapped batch is
+    # done (converged lanes are frozen either way, so the output is
+    # identical to the fixed schedule — the skipped chunks would have been
+    # identity updates). Warm-started receding-horizon cycles typically
+    # converge well inside the budget, so lockstep campaigns pay only the
+    # straggler lane's iterations instead of max_iter every cycle.
+    early_exit: bool = struct.field(pytree_node=False, default=True)
     eps_abs: float = 1e-4
     eps_rel: float = 1e-4
     eps_infeas: float = 1e-6
@@ -636,10 +644,29 @@ def solve(
     state = init
     if n_adapt > 0:
         state, _ = jax.lax.scan(make_chunk(True), state, None, length=n_adapt)
-    if n_chunks - n_adapt > 0:
-        state, _ = jax.lax.scan(
-            make_chunk(False), state, None, length=n_chunks - n_adapt
-        )
+    n_rest = n_chunks - n_adapt
+    if n_rest > 0:
+        if cfg.early_exit:
+            # while_loop over chunks: under vmap the condition is OR-reduced
+            # across lanes, so the loop stops at the first chunk boundary
+            # where every lane is done — identical output (frozen lanes are
+            # identity updates), straggler-bounded cost
+            def cond(carry):
+                k, st = carry
+                return (k < n_rest) & ~st[7]
+
+            def body(carry):
+                k, st = carry
+                st, _ = _chunk_body(st, False)
+                return (k + 1, st)
+
+            _, state = jax.lax.while_loop(
+                cond, body, (jnp.asarray(0, jnp.int32), state)
+            )
+        else:
+            state, _ = jax.lax.scan(
+                make_chunk(False), state, None, length=n_rest
+            )
     # residuals of the returned iterate were computed by the last live chunk
     # (frozen lanes keep the residuals they converged at)
     (x, z, y, rho_v, L, rho, it, done, status, r_prim, r_dual) = state

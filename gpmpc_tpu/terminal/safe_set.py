@@ -225,11 +225,14 @@ class StreamingSafeSet:
         )
 
     def add(self, x: Array, u: Array, cost: Array) -> "StreamingSafeSet":
+        # one-hot row select (vmapped dynamic scatters serialize on TPU;
+        # see gp/online_update.DataBuffer.add)
         i = self.buf_count
+        sel = jnp.arange(self.buf_X.shape[0]) == i
         new = self.replace(
-            buf_X=self.buf_X.at[i].set(x),
-            buf_U=self.buf_U.at[i].set(u),
-            buf_cost=self.buf_cost.at[i].set(cost),
+            buf_X=jnp.where(sel[:, None], jnp.broadcast_to(x, self.buf_X.shape), self.buf_X),
+            buf_U=jnp.where(sel[:, None], jnp.broadcast_to(u, self.buf_U.shape), self.buf_U),
+            buf_cost=jnp.where(sel, cost, self.buf_cost),
             buf_count=i + 1,
         )
         full = new.buf_count >= self.buf_X.shape[0]
