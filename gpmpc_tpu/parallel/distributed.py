@@ -125,34 +125,37 @@ def sharded_campaign_statistics(mesh: Mesh, results: Dict) -> Dict:
             name: allsum((outcome == code).astype(jnp.float32))
             for code, name in OUTCOME_NAMES.items()
         }
-        return sums, counts
+        # Derived statistics computed HERE, after the psum, while still
+        # inside the shard_map: every output is P()-replicated, so on a
+        # multi-process pod no eager op ever touches a non-fully-addressable
+        # array (host code just reads an addressable shard).
+        denom = jnp.maximum(sums["succ"], 1.0)
+        fuel_mean = sums["fuel"] / denom
+        fuel_var = jnp.maximum(sums["fuel2"] / denom - fuel_mean**2, 0.0)
+        lo, hi = wilson_interval(sums["succ"], sums["n"])
+        return {
+            "success_rate": sums["succ"] / sums["n"],
+            "success_ci": (lo, hi),
+            "outcome_counts": counts,
+            "fuel_used_mean": fuel_mean,
+            "fuel_used_std": jnp.sqrt(fuel_var),
+            "landing_speed_mean": sums["speed"] / denom,
+            "landing_error_mean": sums["err"] / denom,
+            "steps_mean": sums["steps"] / denom,
+        }
 
-    sums, counts = jax.jit(
+    stats = jax.jit(
         jax.shard_map(
             local, mesh=mesh,
             in_specs=(spec, spec, spec, spec, spec),
-            out_specs=(P(), P()),
+            out_specs=P(),
         )
     )(
         results["outcome"], results["fuel_used"], results["landing_speed"],
         results["landing_error"], results["steps"],
     )
-
-    denom = jnp.maximum(sums["succ"], 1.0)
-    fuel_mean = sums["fuel"] / denom
-    fuel_var = jnp.maximum(sums["fuel2"] / denom - fuel_mean**2, 0.0)
-    lo, hi = wilson_interval(sums["succ"], sums["n"])
-    return {
-        "n_runs": n_total,
-        "success_rate": sums["succ"] / sums["n"],
-        "success_ci": (lo, hi),
-        "outcome_counts": counts,
-        "fuel_used_mean": fuel_mean,
-        "fuel_used_std": jnp.sqrt(fuel_var),
-        "landing_speed_mean": sums["speed"] / denom,
-        "landing_error_mean": sums["err"] / denom,
-        "steps_mean": sums["steps"] / denom,
-    }
+    stats["n_runs"] = n_total
+    return stats
 
 
 def gather_safe_sets_global(local_set: SafeSet, capacity: Optional[int] = None) -> SafeSet:
