@@ -27,6 +27,12 @@ from .novelty_selector import (
     variance_novelty,
 )
 from .batched_learner import BatchedLearningConfig, run_batched_learning
+from .online_gp_mpc import (
+    OnlineGPMPCConfig,
+    OnlineGPMPCState,
+    make_online_gp_mpc_controller,
+    online_controller_info,
+)
 from .online_learner import (
     IterativeLearningRunner,
     LearningStatistics,
@@ -53,8 +59,12 @@ __all__ = [
     "LearningStatistics",
     "NoveltyConfig",
     "NoveltySelector",
+    "OnlineGPMPCConfig",
+    "OnlineGPMPCState",
     "OnlineLearner",
     "OnlineLearningConfig",
+    "make_online_gp_mpc_controller",
+    "online_controller_info",
     "StreamingDataCollector",
     "TransitionStore",
     "collect_residuals_3dof",

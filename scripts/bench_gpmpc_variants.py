@@ -60,6 +60,11 @@ VARIANTS = {
     "1x100_nf": mk(100, 50, 1e-2, True, scp=1, certs=False),
     "1x150_nf": mk(150, 50, 1e-2, True, scp=1, certs=False),
     "2x50_nf": mk(50, 50, 1e-2, True, certs=False),
+    # real-time iteration + bf16 operator streams / shorter schedules
+    "1x100_bf16_nf": mk(100, 50, 2e-2, True, "bf16", scp=1, certs=False),
+    "1x50_nf": mk(50, 50, 1e-2, True, scp=1, certs=False),
+    "1x50_bf16_nf": mk(50, 50, 2e-2, True, "bf16", scp=1, certs=False),
+    "1x75_bf16_nf": mk(75, 25, 2e-2, True, "bf16", scp=1, certs=False),
     # multi-lane VMEM-resident Pallas chunks (L lanes per grid cell)
     "1x100_lanes": mk(100, 50, 1e-2, True, scp=1, certs=False,
                       pallas="lanes"),

@@ -9,6 +9,12 @@ state machine) in lockstep on the ambient JAX backend, for any of:
     --controller gp_mpc   GP-MPC: pretrained sparse residual GP inside the
                           SCP loop, flying a dispersed (drag+wind) plant the
                           nominal model doesn't know
+    --controller online_gp_mpc
+                          GP-MPC that starts with an EMPTY GP and learns the
+                          plant gap online, inside the 50 Hz loop: per-cycle
+                          novelty-gated residual observe + cadenced
+                          recency-Z factor refits, per lane (reference
+                          online_update.py:14-16,53-56 at campaign scale)
     --model 3dof|6dof     point-mass or full quaternion stack
 
     python scripts/run_campaign_tpu.py --controller gp_mpc --batch 4096
@@ -41,7 +47,7 @@ def build_3dof(args, jax, jnp):
     base = RTIConfig(
         N=args.n, accept_pri_tol=5e-3, condensed=not args.sparse,
         admm=ADMMConfig(
-            max_iter=100 if args.controller == "gp_mpc" else 50,
+            max_iter=50 if args.controller == "rti" else 100,
             polish=False, adaptive_rho=False, scaling=3,
             # the one-lane Pallas kernel ("auto" on TPU) measures slower than
             # the XLA path on the condensed shape — pin the benched config
@@ -51,13 +57,37 @@ def build_3dof(args, jax, jnp):
     F = lambda x, u: r3.step(p, x, u, base.dt)
     ref_fn = lambda x0: cubic_descent_reference(x0, xT, 100, base.dt)
 
-    if args.controller == "gp_mpc":
-        from gpmpc_tpu.learning import pretrain_gp_3dof
-
+    if args.controller in ("gp_mpc", "online_gp_mpc"):
         # dispersed plant: light drag + steady wind, unknown to the model
         p_true = p.replace(rho=1.0, C_D=1.0, A_ref=0.1)
         wind = jnp.zeros(7).at[5].set(0.4).at[6].set(0.25)
         plant = lambda x, u: r3.step(p_true, x, u, base.dt) + base.dt * wind
+
+    if args.controller == "online_gp_mpc":
+        from gpmpc_tpu.learning import (
+            OnlineGPMPCConfig,
+            make_online_gp_mpc_controller,
+            online_controller_info,
+        )
+
+        # in-loop learning wants the real-time iteration config (1 SCP iter +
+        # frozen rollout tape) — the benched 50 Hz configuration
+        cfg = GPMPCConfig(
+            base=base.replace(accept_pri_tol=1e-2),
+            scp_iterations=1, tighten=True, rollout_gp_tape=True,
+        )
+        ocfg = OnlineGPMPCConfig(mpc=cfg)
+        cinit, cstep = make_online_gp_mpc_controller(
+            F, ocfg, xT, ref_fn, args.steps, args.steps
+        )
+        return cinit, cstep, plant, 7, {
+            "F": F, "dt": base.dt, "T_max": p.T_max,
+            "cstate_info": online_controller_info,
+        }
+
+    if args.controller == "gp_mpc":
+        from gpmpc_tpu.learning import pretrain_gp_3dof
+
         _, mean_fn, var_fn = pretrain_gp_3dof(
             jax.random.PRNGKey(42), p, plant
         )
@@ -127,7 +157,8 @@ def main() -> int:
     ap.add_argument("--batch", type=int, default=1024)
     ap.add_argument("--steps", type=int, default=130)
     ap.add_argument("--n", type=int, default=20, help="MPC horizon")
-    ap.add_argument("--controller", choices=["rti", "gp_mpc"], default="rti")
+    ap.add_argument("--controller", choices=["rti", "gp_mpc", "online_gp_mpc"],
+                    default="rti")
     ap.add_argument("--model", choices=["3dof", "6dof"], default="3dof")
     ap.add_argument("--facets", type=int, default=0,
                     help="gimbal/glideslope cone facets (6-DoF)")
@@ -160,6 +191,8 @@ def main() -> int:
         summarize,
     )
 
+    if args.controller == "online_gp_mpc" and args.model == "6dof":
+        raise SystemExit("online_gp_mpc currently composes the 3-DoF stack")
     build = build_6dof if args.model == "6dof" else build_3dof
     cinit, cstep, plant, n_x, aux = build(args, jax, jnp)
     alt = 20.0 if args.model == "6dof" else 30.0
@@ -168,7 +201,7 @@ def main() -> int:
     x0s = sample_initial_conditions(jax.random.PRNGKey(0), sim, args.batch,
                                     n_x=n_x)
 
-    cstate_info = None
+    cstate_info = aux.get("cstate_info")
     if args.safety_filter:
         # descent-envelope predictive filter: velocity-ellipsoid invariant
         # set (altitude-blind, so nominal descent is admissible at any
@@ -251,6 +284,29 @@ def main() -> int:
         "landing_error_mean": float(stats["landing_error_mean"]),
         "fuel_used_mean": float(stats["fuel_used_mean"]),
     }
+    if args.controller == "online_gp_mpc":
+        # the learning trace: mean one-step model error per cycle across live
+        # lanes — the evidence the GP improves DURING the campaign
+        import numpy as np
+
+        eh = np.asarray(jax.device_get(res["err_hist"]))
+        with __import__("warnings").catch_warnings():
+            __import__("warnings").simplefilter("ignore")
+            curve = np.nanmean(eh, axis=0)
+        early = float(np.nanmean(eh[:, 2:12]))
+        lo = min(60, args.steps - 20)
+        late = float(np.nanmean(eh[:, lo:]))
+        out["online_learning"] = {
+            "model_err_cycles_2_12": round(early, 5),
+            f"model_err_cycles_{lo}_plus": round(late, 5),
+            "model_err_reduction_x": round(early / max(late, 1e-12), 1),
+            "gp_points_mean": float(jax.device_get(res["gp_points"]).mean()),
+            "n_refits_mean": float(jax.device_get(res["n_refits"]).mean()),
+            "err_curve_by5": [
+                None if np.isnan(v) else round(float(v), 5)
+                for v in curve[::5]
+            ],
+        }
     if args.safety_filter:
         # ablation row: the same ICs without the filter (VERDICT item 6 /
         # reference monte_carlo.py:455-543 composition), chunked like the
