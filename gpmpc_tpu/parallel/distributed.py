@@ -55,9 +55,12 @@ def initialize_distributed(
         num_processes = int(os.environ["JAX_NUM_PROCESSES"])
     if process_id is None and "JAX_PROCESS_ID" in os.environ:
         process_id = int(os.environ["JAX_PROCESS_ID"])
-    already = jax.process_count() > 1
-    if already:
-        return True
+    # NOTE: must NOT probe jax.process_count() here — that initializes the
+    # XLA backend and jax.distributed.initialize() then refuses to run (it
+    # must precede any backend use). is_initialized() reads the coordination
+    # client only. (Bug found by the 2-process test, tests/test_multiprocess.py.)
+    if jax.distributed.is_initialized():
+        return jax.process_count() > 1
     if coordinator_address is None:
         return False  # single-process run
     jax.distributed.initialize(
