@@ -86,6 +86,10 @@ class LMPCConfig:
     )
     m_dry: float = 1.0
     fuel_margin: float = 0.0
+    # endgame fuel-filter fallback (see terminal.local_safe_set.knn_query):
+    # without it the final-descent QPs are infeasible by construction and
+    # per-round qp_success_rate caps at ~0.85 on dispersed fleets
+    fuel_filter_fallback: bool = struct.field(pytree_node=False, default=True)
     # condensed form: states eliminated via X = G·U + d, z = [U; λ; s]
     # (~4.5× fewer variables at N=15, ~17× less ADMM matvec traffic with the
     # row structure declared) — the same QP, solution-parity-tested against
@@ -214,8 +218,13 @@ def lmpc_solve(
     X_sim = jnp.concatenate([x0[None], X_roll], axis=0)
 
     # terminal vertex set around the predicted terminal state, fuel-filtered
+    # (with the endgame fallback — see knn_query: an emptied filter would
+    # make the Σλ=1 row infeasible for the rest of the episode)
     fuel_avail = x0[0] - config.m_dry - config.fuel_margin
-    res = knn_query(safe_set, X_sim[-1], K, fuel_available=fuel_avail)
+    res = knn_query(
+        safe_set, X_sim[-1], K, fuel_available=fuel_avail,
+        fallback_unfiltered=config.fuel_filter_fallback,
+    )
 
     # RTI-style linearization
     Aks, Bks, cks = trajectory_jacobians(step_fn, X_sim, state.U_lin)

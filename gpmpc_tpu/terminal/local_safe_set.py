@@ -63,13 +63,29 @@ def knn_query(
     K: int,
     weights: Optional[Array] = None,
     fuel_available: Optional[Array] = None,
+    fallback_unfiltered: bool = False,
 ) -> KNNResult:
     """Top-K weighted neighbors with fuel-aware masking
     (``local_safe_set.py:133-224``). Infeasible / inactive rows get distance
-    +inf; callers must respect ``valid``. vmap over ``x`` for batches."""
+    +inf; callers must respect ``valid``. vmap over ``x`` for batches.
+
+    ``fallback_unfiltered``: when the fuel filter leaves ZERO feasible rows,
+    fall back to the unfiltered (active-row) neighbors instead of returning
+    an all-invalid result. The endgame geometry makes this necessary for
+    closed-loop LMPC: in the final descent the lane's remaining fuel drops
+    below the stored ``fuel_required`` floor (every vertex carries the
+    +fuel_margin pad, ~0.05, while a lane about to touch down legitimately
+    holds less), the terminal vertex set empties, the Σλ=1 hull row turns
+    infeasible, and every remaining QP in the episode is unsolvable — the
+    controller then flies a stale shifted plan into the ground. Measured on
+    the 16-lane dispersed fleet: 100% of QP failures were this mode (steps
+    44-56, altitude <3.6 m, nvalid=0). An unfiltered terminal anchor within
+    a meter of touchdown is strictly safer than no terminal constraint."""
     w = default_state_weights(ss.states.shape[1]) if weights is None else weights
     d2 = weighted_sq_dists(x[None, :], ss.states, w)[0]
     feas = ss.feasible_mask(fuel_available)
+    if fallback_unfiltered and fuel_available is not None:
+        feas = jnp.where(jnp.any(feas), feas, ss.mask)
     d2 = jnp.where(feas, d2, _BIG)
     neg, idx = jax.lax.top_k(-d2, K)
     dist = jnp.sqrt(jnp.maximum(-neg, 0.0))

@@ -120,6 +120,34 @@ class TestKNN:
         # with a tight budget, early (fuel-hungry) states are excluded
         assert float(res_tight.distances[0]) >= float(res_all.distances[0])
 
+    def test_knn_fuel_fallback_when_filter_empties(self, rng):
+        """fallback_unfiltered: a budget below every fuel_required returns
+        the unfiltered neighbors instead of an all-invalid result (the LMPC
+        endgame mode — see knn_query docstring)."""
+        ss = make_safe_set(rng, n_traj=1)
+        x = ss.states[0]
+        budget = jnp.asarray(-1.0)  # below every stored requirement
+        res_off = knn_query(ss, x, 5, fuel_available=budget)
+        assert not bool(jnp.any(res_off.valid))
+        res_fb = knn_query(
+            ss, x, 5, fuel_available=budget, fallback_unfiltered=True
+        )
+        res_all = knn_query(ss, x, 5)
+        assert bool(jnp.all(res_fb.valid == res_all.valid))
+        np.testing.assert_allclose(
+            np.asarray(res_fb.distances), np.asarray(res_all.distances)
+        )
+        # a budget that keeps some rows feasible must NOT fall back
+        mid = float(jnp.median(jnp.where(ss.mask, ss.fuel_required, jnp.inf)))
+        res_mid = knn_query(
+            ss, x, 5, fuel_available=jnp.asarray(mid),
+            fallback_unfiltered=True,
+        )
+        res_mid_off = knn_query(ss, x, 5, fuel_available=jnp.asarray(mid))
+        np.testing.assert_allclose(
+            np.asarray(res_mid.distances), np.asarray(res_mid_off.distances)
+        )
+
     def test_more_neighbors_than_states(self):
         ss = SafeSet.create(32, 7)
         ss = ss.add_trajectory(jnp.ones((3, 7)), jnp.zeros((3, 3)), jnp.ones(3))
