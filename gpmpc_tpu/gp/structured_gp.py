@@ -164,6 +164,25 @@ class StructuredRocketGP:
             rot_buffer=self.rot_buffer.add_batch(Fr, residuals[:, 3:6]),
         )
 
+    def add_data_batch_masked(
+        self, X: Array, U: Array, residuals: Array, valid: Array
+    ) -> "StructuredRocketGP":
+        """Masked batch insert into both buffers (the fleet-learner path —
+        see ``RingBuffer.add_batch_masked``)."""
+        Ft = self.trans_extractor.extract_batch(X, U)
+        Fr = self.rot_extractor.extract_batch(X, U)
+        return self.replace(
+            trans_buffer=self.trans_buffer.add_batch_masked(
+                Ft, residuals[:, :3], valid),
+            rot_buffer=self.rot_buffer.add_batch_masked(
+                Fr, residuals[:, 3:6], valid),
+        )
+
+    @property
+    def buffer_count(self) -> Array:
+        """Stored-point count (both buffers fill in lockstep)."""
+        return self.trans_buffer.count
+
     # -- fit ----------------------------------------------------------------
     def fit(self, key: Array) -> "StructuredRocketGP":
         """Fit both sparse GPs on the buffered data (``structured_gp.py:208-226``)."""
@@ -329,6 +348,18 @@ class Simple3DoFGP:
         return self.replace(
             buffer=self.buffer.add_batch(self.extractor.extract_batch(X, U), R)
         )
+
+    def add_data_batch_masked(
+        self, X: Array, U: Array, R: Array, valid: Array
+    ) -> "Simple3DoFGP":
+        return self.replace(
+            buffer=self.buffer.add_batch_masked(
+                self.extractor.extract_batch(X, U), R, valid)
+        )
+
+    @property
+    def buffer_count(self) -> Array:
+        return self.buffer.count
 
     def fit(self, key: Array) -> "Simple3DoFGP":
         cfg = self.config

@@ -8,6 +8,7 @@ from .lmpc import (
     default_stage_cost,
     fly_episode,
     lmpc_init,
+    lmpc_plan_value,
     lmpc_solve,
     run_episode,
     run_fleet_iterations,
@@ -22,6 +23,7 @@ __all__ = [
     "default_stage_cost",
     "lmpc_init",
     "fly_episode",
+    "lmpc_plan_value",
     "lmpc_solve",
     "run_episode",
     "run_fleet_iterations",

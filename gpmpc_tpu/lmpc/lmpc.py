@@ -90,6 +90,16 @@ class LMPCConfig:
     # without it the final-descent QPs are infeasible by construction and
     # per-round qp_success_rate caps at ~0.85 on dispersed fleets
     fuel_filter_fallback: bool = struct.field(pytree_node=False, default=True)
+    # restrict the hull vertices to the single trajectory of the NEAREST
+    # valid neighbor. The λ-hull interpolates cost-to-go linearly between
+    # vertices; for the nonlinear rocket that interpolation is only
+    # defensible ALONG one flown trajectory — vertices mixed from several
+    # trajectories give the terminal cost an optimistic (unreachable) value
+    # between them, which is the measured source of fleet-scale probe-cost
+    # non-monotonicity (cost bumps appear exactly when other lanes'
+    # trajectories join the set). Off by default: the mixed hull is the
+    # reference's construction (lmpc.py:267-345) and is less conservative.
+    hull_same_trajectory: bool = struct.field(pytree_node=False, default=False)
     # condensed form: states eliminated via X = G·U + d, z = [U; λ; s]
     # (~4.5× fewer variables at N=15, ~17× less ADMM matvec traffic with the
     # row structure declared) — the same QP, solution-parity-tested against
@@ -225,6 +235,10 @@ def lmpc_solve(
         safe_set, X_sim[-1], K, fuel_available=fuel_avail,
         fallback_unfiltered=config.fuel_filter_fallback,
     )
+    if config.hull_same_trajectory:
+        tids = safe_set.traj_ids[res.indices]
+        nearest = jnp.argmin(jnp.where(res.valid, res.distances, jnp.inf))
+        res = res._replace(valid=res.valid & (tids == tids[nearest]))
 
     # RTI-style linearization
     Aks, Bks, cks = trajectory_jacobians(step_fn, X_sim, state.U_lin)
@@ -385,6 +399,39 @@ def lmpc_solve(
         ),
         new_state,
     )
+
+
+def lmpc_plan_value(
+    step_fn: Callable[[Array, Array], Array],
+    config: LMPCConfig,
+    safe_set: SafeSet,
+    x0: Array,
+    x_target: Array,
+    settle: int = 4,
+) -> Tuple[Array, Array]:
+    """The controller's value estimate V(x0) = planned stage cost + terminal
+    Qᵀλ at a fixed state, after ``settle`` re-solves to converge the RTI
+    warm start. THIS is the quantity LMPC's value iteration drives down as
+    the safe set grows (Rosolia–Borrelli iteration cost, lmpc.py:10-13) and
+    the right fleet-scale monotonicity metric: the REALIZED episode cost is
+    step-quantized — landing two steps later (e.g. to touch down 40% softer)
+    adds ~2 stage costs of altitude error and reads as a 5-10% "regression"
+    (measured: realized probe cost tracked episode length exactly, 96.5k@54
+    steps vs 106.8k@60, while V(x0) fell monotonically 107.5k → 94.1k over
+    the same six rounds). Returns (value, last_solve_ok)."""
+    st = lmpc_init(config, x0, x_target)
+
+    def body(st, _):
+        sol, st = lmpc_solve(step_fn, config, safe_set, st, x0)
+        return st, sol
+
+    _, sols = jax.lax.scan(body, st, None, length=settle)
+    sol = jax.tree.map(lambda a: a[-1], sols)
+    e = sol.X_opt - x_target[None]
+    plan = jnp.einsum("ki,ij,kj->", e[:-1], config.Q, e[:-1]) + jnp.einsum(
+        "ki,ij,kj->", sol.U_opt, config.R, sol.U_opt
+    )
+    return plan + sol.terminal_q, sol.success
 
 
 def default_stage_cost(x: Array, u: Array, x_target: Array, config: LMPCConfig) -> Array:

@@ -122,7 +122,8 @@ def _augmented_rollout(step_fn, gp_mean_fn, X_guess, U, dt):
         x_next = step_fn(x, u) + dt * gp_mean_fn(x, u)
         return x_next, x_next
 
-    _, X = jax.lax.scan(body, X_guess[0], U)
+    # unroll: per-step work is a few tiny fused ops; trip overhead dominates
+    _, X = jax.lax.scan(body, X_guess[0], U, unroll=4)
     return jnp.concatenate([X_guess[:1], X], axis=0)
 
 
@@ -159,7 +160,7 @@ def gp_mpc_solve(
             x_next = step_fn(x, u) + dt * mu
             return x_next, x_next
 
-        _, X_roll = jax.lax.scan(tape_body, x0, (state.U_lin, tape))
+        _, X_roll = jax.lax.scan(tape_body, x0, (state.U_lin, tape), unroll=4)
         X_sim = jnp.concatenate([x0[None], X_roll], axis=0)
     else:
         roll_mean = gp_mean_fn if config.augment_rollout else (

@@ -123,6 +123,12 @@ class ADMMConfig:
     # controller's acceptance/fallback ladder already handles unsolved
     # subproblems; infeasible QPs then report MAX_ITER instead.
     infeas_certs: bool = struct.field(pytree_node=False, default=True)
+    # unroll factor for the iteration loop inside each check-interval chunk:
+    # the iteration body is a handful of small batched matvecs, so at modest
+    # batch sizes the per-trip loop overhead (TPU while-loop bookkeeping +
+    # kernel launches) rivals the math; unrolling amortizes it at the price
+    # of code size / compile time. Results are bitwise identical.
+    iter_unroll: int = struct.field(pytree_node=False, default=1)
     # dtype of the loop-invariant matrices (A, KKT inverse) inside the
     # iteration matvecs: "bf16" halves the HBM traffic of the memory-bound
     # ADMM bulk (accumulation stays f32 via preferred_element_type; iterates,
@@ -551,12 +557,13 @@ def solve(
             else:
                 one_iter = make_one_iter(L)
 
-            def body(_, c):
+            def body(c, _):
                 xx, zz, yy = one_iter((c[0], c[1], c[2], rho_v))
-                return (xx, zz, yy)
+                return (xx, zz, yy), None
 
-            x_n, z_n, y_n = jax.lax.fori_loop(
-                0, cfg.check_interval, body, (x, z, y)
+            (x_n, z_n, y_n), _ = jax.lax.scan(
+                body, (x, z, y), None, length=cfg.check_interval,
+                unroll=cfg.iter_unroll,
             )
         # freeze converged/infeasible lanes
         keep = ~done

@@ -56,10 +56,13 @@ def prediction_matrices(
         dn = A_k @ d + c_k
         return (Gn, dn), (Gn, dn)
 
+    # unroll: the body is one (n_x,n_x)@(n_x,nu) matmul — at these sizes the
+    # loop-trip overhead rivals the math, and N is small (15-20)
     (_, _), (Gs, ds) = jax.lax.scan(
         body,
         (jnp.zeros((n_x, nu), Aks.dtype), x0),
         (Aks, Bks, cks, jnp.arange(N)),
+        unroll=4,
     )
     return Gs, ds
 

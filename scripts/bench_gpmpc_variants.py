@@ -37,13 +37,16 @@ _, mean_fn, var_fn = explore_gp_3dof(
 )
 
 
-def mk(mi, ci, apt, tape, mv="f32", scp=2, certs=True, pallas="off"):
+def mk(mi, ci, apt, tape, mv="f32", scp=2, certs=True, pallas="off",
+       scaling=3, eps=1e-4, rows=None, unroll=1):
     return GPMPCConfig(
         base=RTIConfig(
             N=N, accept_pri_tol=apt, condensed=True,
             admm=ADMMConfig(max_iter=mi, check_interval=ci, polish=False,
-                            adaptive_rho=False, scaling=3, use_pallas=pallas,
-                            matvec_dtype=mv, infeas_certs=certs),
+                            adaptive_rho=False, scaling=scaling,
+                            use_pallas=pallas, matvec_dtype=mv,
+                            infeas_certs=certs, eps_abs=eps, eps_rel=eps,
+                            row_structure=rows, iter_unroll=unroll),
         ),
         scp_iterations=scp, tighten=True, rollout_gp_tape=tape,
     )
@@ -65,6 +68,24 @@ VARIANTS = {
     "1x50_nf": mk(50, 50, 1e-2, True, scp=1, certs=False),
     "1x50_bf16_nf": mk(50, 50, 2e-2, True, "bf16", scp=1, certs=False),
     "1x75_bf16_nf": mk(75, 25, 2e-2, True, "bf16", scp=1, certs=False),
+    # fixed-cost levers: fewer Ruiz sweeps, early exit with looser solver
+    # eps (acceptance is accept_pri_tol anyway), dense vs structured matvec
+    "1x50_s1_nf": mk(50, 50, 1e-2, True, scp=1, certs=False, scaling=1),
+    "1x50_s2_nf": mk(50, 50, 1e-2, True, scp=1, certs=False, scaling=2),
+    "1x100_ci25_eps3": mk(100, 25, 1e-2, True, scp=1, certs=False, eps=1e-3),
+    "1x50_dense_nf": mk(50, 50, 1e-2, True, scp=1, certs=False,
+                        rows=(("dense", N * 10),)),
+    "1x50_s1_ci25_eps3": mk(50, 25, 1e-2, True, scp=1, certs=False,
+                            scaling=1, eps=1e-3),
+    # loop-trip overhead: unrolled ADMM iteration chunks
+    "1x50_s2_u5": mk(50, 50, 1e-2, True, scp=1, certs=False, scaling=2,
+                     unroll=5),
+    "1x50_s2_u10": mk(50, 50, 1e-2, True, scp=1, certs=False, scaling=2,
+                      unroll=10),
+    "1x50_s2_u25": mk(50, 50, 1e-2, True, scp=1, certs=False, scaling=2,
+                      unroll=25),
+    "1x100_s2_u10": mk(100, 50, 1e-2, True, scp=1, certs=False, scaling=2,
+                       unroll=10),
     # multi-lane VMEM-resident Pallas chunks (L lanes per grid cell)
     "1x100_lanes": mk(100, 50, 1e-2, True, scp=1, certs=False,
                       pallas="lanes"),

@@ -13,7 +13,13 @@ from one episode at a time, every round here lands hundreds concurrently.
 
 A probe lane flies the exact seed initial condition every round, so the
 classic LMPC iteration-cost monotonicity (Q^{j+1} <= Q^j) is measured at
-fleet scale alongside the fleet-wide statistics.
+fleet scale alongside the fleet-wide statistics. Two probe metrics are
+reported: the REALIZED episode cost (step-quantized — landing a couple of
+steps later to touch down softer reads as a 5-10% cost "bump", so it is only
+asserted to improve on the seed) and the controller's VALUE ESTIMATE
+V(x0) = planned stage cost + terminal Q at the fixed seed IC, which is the
+quantity LMPC's value iteration actually drives down and is monotone within
+solver noise (see lmpc.lmpc_plan_value for the measured decomposition).
 
     python scripts/run_fleet_lmpc_tpu.py                    # TPU, 256 lanes
     python scripts/run_fleet_lmpc_tpu.py --cpu --batch 8 --rounds 2 \
@@ -155,6 +161,9 @@ def main() -> int:
             in_axes=(None, 0),
         )
     )
+    from gpmpc_tpu.lmpc import lmpc_plan_value
+
+    plan_value = jax.jit(lambda ss: lmpc_plan_value(step, cfg, ss, x0_seed, xT))
 
     @jax.jit
     def add_many(ss, X, U, costs, success):
@@ -203,6 +212,8 @@ def main() -> int:
     t_start = time.time()
     for r in range(first_round, args.rounds):
         t0 = time.time()
+        V_probe, _ = plan_value(ss)  # value estimate BEFORE this round flies
+        V_probe = float(jax.device_get(V_probe))
         outs = []
         for c in range(args.batch // chunk):
             out = fly(ss, x0s[c * chunk : (c + 1) * chunk])
@@ -218,6 +229,8 @@ def main() -> int:
                 out["success"].astype(jnp.float32))), 4),
             "total_cost_mean": round(float(jnp.mean(out["total_cost"])), 1),
             "probe_lane_cost": round(float(out["total_cost"][0]), 1),
+            "probe_plan_value": round(V_probe, 1),
+            "probe_lane_steps": int(out["steps"][0]),
             "steps_mean": round(float(jnp.mean(
                 out["steps"].astype(jnp.float32))), 1),
             "qp_success_rate": round(float(jnp.mean(
@@ -263,6 +276,15 @@ def main() -> int:
         "probe_improves_on_seed": lane0_costs[-1] < seed_cost,
         "probe_monotone_within_5pct": all(
             b <= a * 1.05 for a, b in zip(lane0_costs, lane0_costs[1:])
+        ),
+        # the principled monotonicity metric (see module docstring)
+        "probe_plan_values": [s["probe_plan_value"] for s in rounds],
+        "probe_value_monotone_within_1pct": all(
+            b <= a * 1.01
+            for a, b in zip(
+                [s["probe_plan_value"] for s in rounds],
+                [s["probe_plan_value"] for s in rounds][1:],
+            )
         ),
         "final_success_rate": rounds[-1]["success_rate"],
         "episodes_flown": args.batch * len(rounds),

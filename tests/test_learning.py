@@ -224,3 +224,55 @@ class TestBatchedFleetLearning:
             err0.mean(), err1.mean())
         # the fleet still lands while learning
         assert int(out["landed"][-1].sum()) >= B - 2
+
+    def test_fleet_learning_6dof_structured_gp(self, devices8):
+        """>=16 6-DoF lanes learn concurrently with per-lane 6-output
+        structured GPs (reference online_learner.py:529-677 +
+        structured_gp.py:4-22 at fleet scale), including the cadenced
+        per-lane Adam MLE retune; per-lane model error falls and the fleet
+        keeps landing softly while learning."""
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+        from gpmpc_tpu.dynamics import Rocket6DoFParams, rocket6dof as r6
+        from gpmpc_tpu.gp import StructuredGPConfig
+        from gpmpc_tpu.learning import BatchedLearningConfig, run_batched_learning
+
+        p = Rocket6DoFParams()
+        p_true = p.replace(rho=0.8, C_A=0.05 * jnp.eye(3))
+        wind = jnp.zeros(14).at[5].set(0.10).at[6].set(0.06)
+        plant = lambda x, u: r6.step(p_true, x, u, DT) + DT * wind
+
+        B = 16
+        key = jax.random.PRNGKey(0)
+        alts = 16.0 + 5.0 * jax.random.uniform(jax.random.fold_in(key, 1), (B,))
+        vys = 0.3 * jax.random.normal(jax.random.fold_in(key, 2), (B,))
+        x0s = jax.vmap(
+            lambda a, vy: r6.create_initial_state(
+                p, altitude=a, velocity=(-3.0, vy, -0.1))
+        )(alts, vys)
+
+        mesh = Mesh(np.asarray(devices8), axis_names=("scenarios",))
+        x0s = jax.device_put(x0s, NamedSharding(mesh, P("scenarios")))
+
+        cfg = BatchedLearningConfig(
+            n_rounds=2, max_steps=100,
+            gp=StructuredGPConfig(max_data_points=128, n_inducing=24),
+            tune_every=1, tune_steps=30,
+        )
+        with mesh:
+            out = jax.jit(
+                lambda k, x: run_batched_learning(k, p, plant, x, cfg)
+            )(key, x0s)
+        out = jax.device_get(out)
+
+        assert bool(np.all(out["gp_fitted"]))
+        err0, err1 = out["model_err"][0], out["model_err"][1]
+        # round 0 flies the nominal model; round 1 flies each lane's own GP
+        assert float(np.mean(err1)) < 0.35 * float(np.mean(err0)), (
+            err0.mean(), err1.mean())
+        # at least 14/16 individual lanes improve
+        assert int(np.sum(err1 < err0)) >= B - 2
+        # the fleet lands SOFTLY while learning (tightening keeps the raw
+        # between-retune GP from walking the braking profile)
+        assert int(out["landed"][-1].sum()) == B
+        assert float(np.median(out["touchdown_speed"][-1])) < 1.0

@@ -150,6 +150,41 @@ class TestLMPCSolve:
             >= summaries[0]["qp_success_rate"] - 0.05
         ), summaries
 
+    def test_plan_value_monotone_as_set_grows(self, seeded):
+        """Fleet-scale improvement, measured on the RIGHT quantity: the
+        controller's value estimate V(x0) = planned stage cost + terminal Q
+        at the fixed seed IC is non-increasing (within 1% solver noise) as
+        the fleet's trajectories join the safe set — the Rosolia-Borrelli
+        iteration-cost property (reference lmpc.py:10-13). The REALIZED
+        episode cost is step-quantized (landing 2 steps later to touch down
+        softer reads as a 5-10% bump) and is deliberately not the metric —
+        see lmpc_plan_value."""
+        from gpmpc_tpu.lmpc import lmpc_plan_value, run_fleet_iterations
+
+        p, step, xT, cfg, ss, (X, U, C) = seeded
+        x0 = X[0]
+        x0s = jnp.stack([
+            x0,
+            x0.at[1].add(1.0),
+            x0.at[2].add(-0.3),
+            x0.at[4].add(0.3),
+        ])
+        values = []
+        pv = jax.jit(lambda s: lmpc_plan_value(step, cfg, s, x0, xT, settle=8))
+        for _ in range(3):
+            V, ok = pv(ss)
+            assert bool(ok)
+            values.append(float(V))
+            _, ss = run_fleet_iterations(
+                step, cfg, ss, x0s, xT, n_rounds=1, max_steps=180
+            )
+        V_final, _ = pv(ss)
+        values.append(float(V_final))
+        # 2% band: the RTI settle leaves O(1%) linearization noise on V
+        assert all(b <= a * 1.02 for a, b in zip(values, values[1:])), values
+        # and the set genuinely taught the controller something
+        assert values[-1] < 0.95 * values[0], values
+
     def test_ipm_solver_single_solve(self, seeded):
         """solver='ipm' solves the same hull QP: success, λ on the simplex,
         hull slack small, thrust bounds respected."""
