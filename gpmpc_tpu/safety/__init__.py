@@ -9,6 +9,7 @@ from .backup_controller import (
     hover_backup_3dof,
 )
 from .invariant_sets import (
+    DescentFunnelSet,
     EllipsoidalInvariantSet,
     PolytopeInvariantSet,
     TubeController,
@@ -35,6 +36,7 @@ from .tube_mpc import (
 )
 
 __all__ = [
+    "DescentFunnelSet",
     "EllipsoidalInvariantSet",
     "EmergencyBrakingController",
     "LQRBackupController",

@@ -55,7 +55,23 @@ def build_3dof(args, jax, jnp):
         ),
     )
     F = lambda x, u: r3.step(p, x, u, base.dt)
-    ref_fn = lambda x0: cubic_descent_reference(x0, xT, 100, base.dt)
+    ref_fn = lambda x0: cubic_descent_reference(x0, xT, args.ref_steps, base.dt)
+
+    if args.gust != 0.0 and args.controller == "rti":
+        # low-altitude downdraft the model doesn't know: switches on below
+        # ~6 m, too late for pure feedback to recover — the failure regime
+        # the predictive safety filter rescues (reference composition,
+        # monte_carlo.py:455-543). Measured unfiltered at gust -2.0:
+        # 21/32 overspeed crashes.
+        def plant_gust(x, u):
+            gust = args.gust * jax.nn.sigmoid((6.0 - x[1]) / 1.0)
+            return r3.step(p, x, u, base.dt) + base.dt * jnp.zeros(7).at[4].set(gust)
+
+        cinit, cstep = make_rti_controller(
+            F, base, xT, reference_fn=ref_fn, ref_horizon=args.steps
+        )
+        return cinit, cstep, plant_gust, 7, {
+            "F": F, "dt": base.dt, "T_max": p.T_max}
 
     if args.controller in ("gp_mpc", "online_gp_mpc"):
         # dispersed plant: light drag + steady wind, unknown to the model
@@ -124,7 +140,7 @@ def build_6dof(args, jax, jnp):
     ).replace(accept_pri_tol=1e-2, condensed=not args.sparse)
     F = lambda x, u: r6.step(p, x, u, base.dt)
     xT = r6.create_initial_state(p, altitude=0.0)
-    ref_fn = lambda x0: cubic_descent_reference(x0, xT, 100, base.dt)
+    ref_fn = lambda x0: cubic_descent_reference(x0, xT, args.ref_steps, base.dt)
 
     if args.controller == "gp_mpc":
         from gpmpc_tpu.learning import pretrain_gp_6dof
@@ -160,6 +176,15 @@ def main() -> int:
     ap.add_argument("--controller", choices=["rti", "gp_mpc", "online_gp_mpc"],
                     default="rti")
     ap.add_argument("--model", choices=["3dof", "6dof"], default="3dof")
+    ap.add_argument("--ref-steps", type=int, default=100,
+                    help="cubic descent profile length in steps. Shorter = "
+                         "a more aggressive (faster) commanded descent — "
+                         "the regime where the predictive safety filter "
+                         "earns its keep (see --safety-filter)")
+    ap.add_argument("--gust", type=float, default=0.0,
+                    help="low-altitude downdraft magnitude (m/s^2, negative "
+                         "= down) applied to the PLANT below ~6 m for the "
+                         "rti controller — the safety-filter rescue regime")
     ap.add_argument("--facets", type=int, default=0,
                     help="gimbal/glideslope cone facets (6-DoF)")
     ap.add_argument("--safety-filter", action="store_true",
@@ -203,25 +228,21 @@ def main() -> int:
 
     cstate_info = aux.get("cstate_info")
     if args.safety_filter:
-        # descent-envelope predictive filter: velocity-ellipsoid invariant
-        # set (altitude-blind, so nominal descent is admissible at any
-        # height) under an emergency-braking backup — the campaign-scale
-        # composition of monte_carlo.py:455-543
+        # soft-landing-funnel predictive filter: the speed allowance shrinks
+        # with altitude (|v|² ≤ v_free² + slope·alt) under an emergency-
+        # braking backup — the campaign-scale composition of
+        # monte_carlo.py:455-543. The funnel (not an altitude-blind velocity
+        # ellipsoid) is what catches the touchdown-overspeed failure mode:
+        # see safety.invariant_sets.DescentFunnelSet.
         from gpmpc_tpu.safety import (
-            EllipsoidalInvariantSet,
+            DescentFunnelSet,
             EmergencyBrakingController,
             SafetyFilterConfig,
             filtered_controller_info,
             make_filtered_controller,
         )
 
-        P = jnp.zeros((n_x, n_x))
-        for i, w in ((2, 0.3), (3, 0.3), (4, 1.0), (5, 1.0), (6, 1.0)):
-            P = P.at[i, i].set(w)
-        x_eq = jnp.zeros(n_x).at[4].set(-1.0)
-        if n_x == 14:
-            x_eq = x_eq.at[7].set(1.0)
-        inv = EllipsoidalInvariantSet(P=P, x_eq=x_eq, alpha=6.0)
+        inv = DescentFunnelSet(slope=0.6, v_free=1.5)
         backup = EmergencyBrakingController(
             T_max=aux["T_max"], g_I=jnp.array([-1.0, 0.0, 0.0])
         )
@@ -230,9 +251,20 @@ def main() -> int:
             u_min=jnp.array([0.0, -aux["T_max"], -aux["T_max"]]),
             u_max=jnp.full(3, aux["T_max"]),
         )
+        # the filter's recoverability rollouts must use a DISTURBANCE-PADDED
+        # model: with the plain nominal model the backup's predicted braking
+        # authority is 4x the gusted truth and the filter keeps certifying
+        # "recoverable" all the way into the ground (measured: 0 effective
+        # rescues at gust -2.0). The pad is the environment's disturbance
+        # BOUND — the filter never sees the realization.
+        F_filter = aux["F"]
+        if args.gust != 0.0:
+            def F_filter(x, u, _F=aux["F"]):
+                g = args.gust * jax.nn.sigmoid((6.0 - x[1]) / 1.0)
+                return _F(x, u) + aux["dt"] * jnp.zeros(n_x).at[4].set(g)
         cinit_unf, cstep_unf = cinit, cstep
         cinit, cstep = make_filtered_controller(
-            cinit, cstep, aux["F"], backup, inv, fcfg
+            cinit, cstep, F_filter, backup, inv, fcfg
         )
         cstate_info = filtered_controller_info
 
