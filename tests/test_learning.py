@@ -256,8 +256,8 @@ class TestBatchedFleetLearning:
 
         cfg = BatchedLearningConfig(
             n_rounds=2, max_steps=100,
-            gp=StructuredGPConfig(max_data_points=128, n_inducing=24),
-            tune_every=1, tune_steps=30,
+            gp=StructuredGPConfig(max_data_points=96, n_inducing=16),
+            tune_every=1, tune_steps=20,
         )
         with mesh:
             out = jax.jit(
