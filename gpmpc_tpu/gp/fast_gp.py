@@ -114,23 +114,25 @@ class CachedGPPredictor:
 @struct.dataclass
 class SparseGPPredictor:
     """FITC/Woodbury predict-only state (``fast_gp.py:338-462``): caches
-    Luu, LB and the projected weights so prediction is two M-dim triangular
-    solves per query batch."""
+    the triangular-inverse factors and the projected weights so prediction
+    is two M-dim MATMULS per query batch (TPU triangular solves serialize
+    over rows — see ops/gp sparse state notes)."""
 
     kernel: object
     Z: Array  # (M, d)
-    Luu: Array
-    LB: Array
+    Luu_inv: Array
+    LB_inv: Array
     c: Array
 
     @classmethod
     def from_sparse_state(cls, state) -> "SparseGPPredictor":
-        return cls(kernel=state.kernel, Z=state.Z, Luu=state.Luu, LB=state.LB, c=state.c)
+        return cls(kernel=state.kernel, Z=state.Z, Luu_inv=state.Luu_inv,
+                   LB_inv=state.LB_inv, c=state.c)
 
     def predict_batch(self, X: Array) -> Tuple[Array, Array]:
         Ksu = self.kernel(X, self.Z)
-        v = jax.scipy.linalg.solve_triangular(self.Luu, Ksu.T, lower=True)
-        w = jax.scipy.linalg.solve_triangular(self.LB, v, lower=True)
+        v = self.Luu_inv @ Ksu.T
+        w = self.LB_inv @ v
         mean = w.T @ self.c
         var = self.kernel.diagonal(X) - jnp.sum(v * v, axis=0) + jnp.sum(w * w, axis=0)
         return mean, jnp.maximum(var, 0.0)

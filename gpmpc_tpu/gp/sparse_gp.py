@@ -37,9 +37,14 @@ class SparseGPState:
     mask: Array  # (cap,)
     log_noise: Array  # ()
     method: str = struct.field(pytree_node=False, default="fitc")
-    # cached factors
-    Luu: Array = None  # (M, M)
-    LB: Array = None  # (M, M)
+    # cached factors: explicit INVERSES of the Cholesky factors. Prediction
+    # and refit are then pure matmuls — a TPU triangular solve serializes
+    # over the factor's rows, and with per-lane states under vmap (one GP
+    # per scenario) the 160-RHS data-side solve was the entire cost of the
+    # in-loop refit (measured: ~56 ms per cadence firing at 512 lanes,
+    # vs <1 ms as matmuls; same trick as ops/qp/admm._factor)
+    Luu_inv: Array = None  # (M, M)
+    LB_inv: Array = None  # (M, M)
     c: Array = None  # (M,)
 
     @property
@@ -52,18 +57,33 @@ class SparseGPState:
 
 
 def _factors(kernel, Z, X, y, mask, log_noise, method: str):
-    """Shared FITC/VFE factor computation (sparse_gp.py:150-251)."""
+    """Shared FITC/VFE factor computation (sparse_gp.py:150-251).
+
+    Returns explicit triangular INVERSES: the only triangular solves are
+    M-RHS identity solves (M sequential row steps on TPU); every data-side
+    operation — the (M, cap) whitening, the c projection, prediction — is a
+    matmul against them. See :class:`SparseGPState` for the measured
+    motivation.
+    """
     jitter = 1e-6
     M = Z.shape[0]
     mf = mask.astype(X.dtype)
     noise = jnp.exp(2.0 * log_noise)
+    eye = jnp.eye(M, dtype=X.dtype)
 
-    Kuu = kernel(Z, Z) + jitter * jnp.eye(M, dtype=X.dtype)
+    Kuu = kernel(Z, Z) + jitter * eye
     Kuf = kernel(Z, X) * mf[None, :]
     kff = kernel.diagonal(X)
 
-    Luu, _ = robust_cholesky(Kuu)
-    V = jax.scipy.linalg.solve_triangular(Luu, Kuf, lower=True)  # (M, cap)
+    # two jitter levels, not the default five: robust_cholesky evaluates
+    # EVERY level (vmapped select, no lazy branching), and a batched 32x32
+    # Cholesky at 512 lanes x 3 outputs costs ~5 ms/level on the v5e — the
+    # 5-level default made the in-loop refit 58 ms/firing. Healthy matrices
+    # take level 0 (bitwise-identical to before); degenerate ones (e.g.
+    # duplicated recency-Z rows) jump straight to the big relative jitter.
+    Luu, _ = robust_cholesky(Kuu, jitters=(0.0, 1e-3))
+    Luu_inv = jax.scipy.linalg.solve_triangular(Luu, eye, lower=True)
+    V = Luu_inv @ Kuf  # (M, cap)
     qff = jnp.sum(V * V, axis=0)  # diag of Qff
 
     if method == "fitc":
@@ -73,11 +93,13 @@ def _factors(kernel, Z, X, y, mask, log_noise, method: str):
     lam = jnp.where(mask, lam, 1.0)
 
     A = V / jnp.sqrt(lam)[None, :]
-    B = jnp.eye(M, dtype=X.dtype) + A @ A.T
-    LB, _ = robust_cholesky(B)
+    B = eye + A @ A.T
+    # B ⪰ I by construction: a plain single-level factorization always works
+    LB, _ = robust_cholesky(B, jitters=(0.0,))
+    LB_inv = jax.scipy.linalg.solve_triangular(LB, eye, lower=True)
     ym = (y * mf) / jnp.sqrt(lam)
-    c = jax.scipy.linalg.solve_triangular(LB, A @ ym, lower=True)
-    return Luu, LB, c, lam, qff, kff, ym
+    c = LB_inv @ (A @ ym)
+    return Luu_inv, LB_inv, c, lam, qff, kff, ym
 
 
 def init_inducing_points(
@@ -112,18 +134,19 @@ def fit_sparse(
 
 
 def refit_sparse(kernel, Z, X, y, mask, log_noise, method: str = "fitc") -> SparseGPState:
-    Luu, LB, c, *_ = _factors(kernel, Z, X, y, mask, log_noise, method)
+    Luu_inv, LB_inv, c, *_ = _factors(kernel, Z, X, y, mask, log_noise, method)
     return SparseGPState(
         kernel=kernel, Z=Z, X=X, y=y, mask=mask, log_noise=log_noise,
-        method=method, Luu=Luu, LB=LB, c=c,
+        method=method, Luu_inv=Luu_inv, LB_inv=LB_inv, c=c,
     )
 
 
 def predict_sparse(state: SparseGPState, Xs: Array) -> GPPrediction:
-    """O(M²) per point: v = Luu⁻¹k*, w = LB⁻¹v (``sparse_gp.py:255-305``)."""
+    """O(M²) per point: v = Luu⁻¹k*, w = LB⁻¹v (``sparse_gp.py:255-305``) —
+    as matmuls against the cached inverses (vmap/TPU-friendly)."""
     Ksu = state.kernel(Xs, state.Z)  # (n_s, M)
-    v = jax.scipy.linalg.solve_triangular(state.Luu, Ksu.T, lower=True)  # (M, n_s)
-    w = jax.scipy.linalg.solve_triangular(state.LB, v, lower=True)
+    v = state.Luu_inv @ Ksu.T  # (M, n_s)
+    w = state.LB_inv @ v
     mean = w.T @ state.c
     kss = state.kernel.diagonal(Xs)
     var = kss - jnp.sum(v * v, axis=0) + jnp.sum(w * w, axis=0)
@@ -132,10 +155,12 @@ def predict_sparse(state: SparseGPState, Xs: Array) -> GPPrediction:
 
 def sparse_lml(kernel, Z, X, y, mask, log_noise, method: str = "fitc") -> Array:
     """FITC marginal likelihood / VFE ELBO (``sparse_gp.py:192-251``)."""
-    Luu, LB, c, lam, qff, kff, ym = _factors(kernel, Z, X, y, mask, log_noise, method)
+    _, LB_inv, c, lam, qff, kff, ym = _factors(kernel, Z, X, y, mask, log_noise, method)
     n = jnp.sum(mask)
     quad = jnp.sum(ym * ym) - jnp.sum(c * c)
-    logdet = 2.0 * jnp.sum(jnp.log(jnp.diagonal(LB))) + jnp.sum(
+    # log|B| = -2 Σ log diag(LB⁻¹): the inverse of a triangular factor has
+    # reciprocal diagonal
+    logdet = -2.0 * jnp.sum(jnp.log(jnp.diagonal(LB_inv))) + jnp.sum(
         jnp.where(mask, jnp.log(lam), 0.0)
     )
     lml = -0.5 * (quad + logdet + n * jnp.log(2.0 * jnp.pi))
@@ -202,8 +227,8 @@ class MultiOutputSparseGPState:
     mask: Array
     log_noise: Array  # (n_out,)
     method: str = struct.field(pytree_node=False, default="fitc")
-    Luu: Array = None  # (n_out, M, M)
-    LB: Array = None
+    Luu_inv: Array = None  # (n_out, M, M) — triangular-inverse factors
+    LB_inv: Array = None
     c: Array = None  # (n_out, M)
 
     @property
@@ -233,26 +258,26 @@ def fit_sparse_multi(
 
 def refit_sparse_multi(kernels, Z, X, YT, mask, log_noise, method="fitc"):
     def one(kernel, y, ln):
-        Luu, LB, c, *_ = _factors(kernel, Z, X, y, mask, ln, method)
-        return Luu, LB, c
+        Luu_inv, LB_inv, c, *_ = _factors(kernel, Z, X, y, mask, ln, method)
+        return Luu_inv, LB_inv, c
 
-    Luu, LB, c = jax.vmap(one)(kernels, YT, log_noise)
+    Luu_inv, LB_inv, c = jax.vmap(one)(kernels, YT, log_noise)
     return MultiOutputSparseGPState(
         kernels=kernels, Z=Z, X=X, Y=YT, mask=mask, log_noise=log_noise,
-        method=method, Luu=Luu, LB=LB, c=c,
+        method=method, Luu_inv=Luu_inv, LB_inv=LB_inv, c=c,
     )
 
 
 def predict_sparse_multi(state: MultiOutputSparseGPState, Xs: Array) -> GPPrediction:
-    def one(kernel, Luu, LB, c):
+    def one(kernel, Luu_inv, LB_inv, c):
         Ksu = kernel(Xs, state.Z)
-        v = jax.scipy.linalg.solve_triangular(Luu, Ksu.T, lower=True)
-        w = jax.scipy.linalg.solve_triangular(LB, v, lower=True)
+        v = Luu_inv @ Ksu.T
+        w = LB_inv @ v
         mean = w.T @ c
         var = kernel.diagonal(Xs) - jnp.sum(v * v, axis=0) + jnp.sum(w * w, axis=0)
         return mean, jnp.maximum(var, 0.0)
 
-    mean, var = jax.vmap(one)(state.kernels, state.Luu, state.LB, state.c)
+    mean, var = jax.vmap(one)(state.kernels, state.Luu_inv, state.LB_inv, state.c)
     return GPPrediction(mean=mean.T, variance=var.T)
 
 
