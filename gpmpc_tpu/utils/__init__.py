@@ -2,6 +2,7 @@
 (reference surface: ``src/utils/__init__.py:12-23``)."""
 
 from .checkpoint import CampaignCheckpointer, restore_pytree, save_pytree
+from .compile_cache import enable_compilation_cache
 from .config_loader import (
     apply_overrides,
     build_gp_config,
@@ -26,6 +27,7 @@ from .profiler import (
 )
 
 __all__ = [
+    "enable_compilation_cache",
     "BenchmarkResults",
     "CampaignCheckpointer",
     "ControlLoopBenchmark",

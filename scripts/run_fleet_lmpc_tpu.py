@@ -122,6 +122,10 @@ def main() -> int:
 
     import jax
 
+    from gpmpc_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()  # replay long campaign compiles across runs
+
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
