@@ -249,6 +249,14 @@ def main() -> int:
                     / n_landed), 3)
                 if (n_landed := float(jnp.sum(
                     out["landed"].astype(jnp.float32)))) > 0 else None),
+            # median over landed lanes: robust to the occasional ballistic
+            # lane whose |v|~1e2 would dominate the mean
+            "touchdown_speed_median": (
+                round(float(jnp.nanmedian(jnp.where(
+                    out["landed"],
+                    jnp.linalg.norm(out["x_final"][:, 4:7], axis=1),
+                    jnp.nan))), 3)
+                if n_landed > 0 else None),
             "safe_set_trajectories": n_traj,
             "wall_s": round(dt_round, 1),
             "lmpc_cycles_per_s": round(
@@ -270,6 +278,8 @@ def main() -> int:
         "touchdown_speed_weight": args.touchdown_weight,
         "touchdown_speed_by_round": [
             s["touchdown_speed_mean"] for s in rounds],
+        "touchdown_speed_median_by_round": [
+            s.get("touchdown_speed_median") for s in rounds],
         "batch": args.batch,
         "rounds": args.rounds,
         "max_steps": args.steps,

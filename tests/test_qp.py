@@ -121,6 +121,22 @@ class TestADMM:
         np.testing.assert_allclose(sol.x, xy[:n], atol=3e-3)
         assert int(sol.status) == SOLVED
 
+    def test_iter_unroll_bitwise_identical(self, rng):
+        """ADMMConfig.iter_unroll only amortizes loop-trip overhead — the
+        iterate sequence must be BITWISE identical to the rolled loop."""
+        data = random_qp(rng)
+        base = ADMMConfig(max_iter=100, check_interval=25, polish=False,
+                          adaptive_rho=False)
+        sol1 = solve(data, config=base)
+        sol5 = solve(data, config=base.replace(iter_unroll=5))
+        # unroll need not divide the chunk either
+        sol7 = solve(data, config=base.replace(iter_unroll=7))
+        for a, b in ((sol1, sol5), (sol1, sol7)):
+            np.testing.assert_array_equal(np.asarray(a.x), np.asarray(b.x))
+            np.testing.assert_array_equal(np.asarray(a.y), np.asarray(b.y))
+            assert int(a.status) == int(b.status)
+            assert int(a.iterations) == int(b.iterations)
+
     @pytest.mark.parametrize("seed", [0, 1, 2])
     def test_random_qp_matches_scipy_oracle(self, seed):
         rng = np.random.default_rng(seed)
