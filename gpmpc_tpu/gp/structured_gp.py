@@ -90,6 +90,28 @@ class RingBuffer:
             count=jnp.minimum(self.count + 1, cap),
         )
 
+    def add_if_novel(
+        self, x: Array, y: Array, min_distance, accept: Array = None
+    ) -> Tuple["RingBuffer", Array]:
+        """Novelty-gated conditional insert (the per-cycle in-loop observe
+        path — ``online_update.py:108-132`` semantics on this store): the
+        point enters only when its distance to every stored row exceeds
+        ``min_distance`` (and ``accept``, if given). Returns (buffer, ok).
+        Same one-hot write form as :meth:`add` — see that note."""
+        d2 = jnp.sum((self.X - x[None]) ** 2, axis=1)
+        d2 = jnp.where(self.mask, d2, jnp.inf)
+        ok = jnp.sqrt(jnp.min(d2)) > min_distance
+        if accept is not None:
+            ok = ok & accept
+        cap = self.capacity
+        sel = ((jnp.arange(cap) == self.head) & ok)[:, None]
+        return self.replace(
+            X=jnp.where(sel, jnp.broadcast_to(x, self.X.shape), self.X),
+            Y=jnp.where(sel, jnp.broadcast_to(y, self.Y.shape), self.Y),
+            head=jnp.where(ok, (self.head + 1) % cap, self.head),
+            count=jnp.where(ok, jnp.minimum(self.count + 1, cap), self.count),
+        ), ok
+
     def add_batch(self, Xb: Array, Yb: Array) -> "RingBuffer":
         k = Xb.shape[0]
         idx = (self.head + jnp.arange(k)) % self.capacity

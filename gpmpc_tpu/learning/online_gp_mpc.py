@@ -195,21 +195,9 @@ def _observe(
     gp: Simple3DoFGP, f: Array, r: Array, accept: Array, min_distance: float
 ) -> Tuple[Simple3DoFGP, Array]:
     """Novelty-gated ring insert (``online_update.py:108-132`` semantics on
-    the masked static-shape store)."""
-    buf = gp.buffer
-    d2 = jnp.sum((buf.X - f[None]) ** 2, axis=1)
-    d2 = jnp.where(buf.mask, d2, jnp.inf)
-    novel = jnp.sqrt(jnp.min(d2)) > min_distance
-    ok = accept & novel
-    cap = buf.capacity
-    sel = ((jnp.arange(cap) == buf.head) & ok)[:, None]
-    new = RingBuffer(
-        X=jnp.where(sel, jnp.broadcast_to(f, buf.X.shape), buf.X),
-        Y=jnp.where(sel, jnp.broadcast_to(r, buf.Y.shape), buf.Y),
-        head=jnp.where(ok, (buf.head + 1) % cap, buf.head),
-        count=jnp.where(ok, jnp.minimum(buf.count + 1, cap), buf.count),
-    )
-    return gp.replace(buffer=new), ok
+    the masked static-shape store — see :meth:`RingBuffer.add_if_novel`)."""
+    buf, ok = gp.buffer.add_if_novel(f, r, min_distance, accept=accept)
+    return gp.replace(buffer=buf), ok
 
 
 def make_online_gp_mpc_controller(
@@ -278,14 +266,18 @@ def make_online_gp_mpc_controller(
         gp, accepted = _observe(gp, f, r, st.have_prev, cfg.min_distance)
 
         # -- cadenced refresh/refit (scalar predicates → real lax.cond) ------
+        did_refresh = jnp.asarray(False)
         if cfg.refresh_every > 0:
+            did_refresh = (k % cfg.refresh_every) == cfg.refresh_every - 1
             gp = jax.lax.cond(
-                (k % cfg.refresh_every) == cfg.refresh_every - 1,
+                did_refresh,
                 lambda g: _refresh_hypers(g, cfg.min_points_hypers),
                 lambda g: g,
                 gp,
             )
-        do_refit = (k % cfg.refit_every) == cfg.refit_every - 1
+        # a refresh already refit on the recentered Z — don't pay the
+        # factor build twice on cycles where both cadences align
+        do_refit = ((k % cfg.refit_every) == cfg.refit_every - 1) & ~did_refresh
         gp = jax.lax.cond(do_refit, _refit_recent, lambda g: g, gp)
 
         # -- solve with the (possibly just-updated) lane GP -------------------
@@ -300,7 +292,7 @@ def make_online_gp_mpc_controller(
             mpc=mpc, gp=gp, x_prev=x, u_prev=sol.u0,
             have_prev=jnp.asarray(True),
             n_accepted=st.n_accepted + accepted.astype(jnp.int32),
-            n_refits=st.n_refits + do_refit.astype(jnp.int32),
+            n_refits=st.n_refits + (do_refit | did_refresh).astype(jnp.int32),
             err_hist=err_hist,
         )
         return sol.u0, new

@@ -62,16 +62,22 @@ def build_3dof(args, jax, jnp):
         # ~6 m, too late for pure feedback to recover — the failure regime
         # the predictive safety filter rescues (reference composition,
         # monte_carlo.py:455-543). Measured unfiltered at gust -2.0:
-        # 21/32 overspeed crashes.
+        # 21/32 overspeed crashes. ONE definition of the gust acceleration:
+        # the plant applies it, and the safety filter pads its
+        # recoverability model with the same expression (via aux) — the
+        # rescue ablation is meaningless if the two drift apart.
+        def gust_accel(x):
+            return args.gust * jax.nn.sigmoid((6.0 - x[1]) / 1.0)
+
         def plant_gust(x, u):
-            gust = args.gust * jax.nn.sigmoid((6.0 - x[1]) / 1.0)
-            return r3.step(p, x, u, base.dt) + base.dt * jnp.zeros(7).at[4].set(gust)
+            return r3.step(p, x, u, base.dt) + base.dt * jnp.zeros(7).at[4].set(
+                gust_accel(x))
 
         cinit, cstep = make_rti_controller(
             F, base, xT, reference_fn=ref_fn, ref_horizon=args.steps
         )
         return cinit, cstep, plant_gust, 7, {
-            "F": F, "dt": base.dt, "T_max": p.T_max}
+            "F": F, "dt": base.dt, "T_max": p.T_max, "gust_accel": gust_accel}
 
     if args.controller in ("gp_mpc", "online_gp_mpc"):
         # dispersed plant: light drag + steady wind, unknown to the model
@@ -260,6 +266,11 @@ def main() -> int:
 
     if args.controller == "online_gp_mpc" and args.model == "6dof":
         raise SystemExit("online_gp_mpc currently composes the 3-DoF stack")
+    if args.gust != 0.0 and (args.controller != "rti" or args.model != "3dof"):
+        raise SystemExit(
+            "--gust composes the 3-DoF rti controller only (other builds "
+            "would silently fly an un-gusted plant while the safety filter "
+            "pads against the gust)")
     build = build_6dof if args.model == "6dof" else build_3dof
     cinit, cstep, plant, n_x, aux = build(args, jax, jnp)
     alt = 20.0 if args.model == "6dof" else 30.0
@@ -298,17 +309,25 @@ def main() -> int:
         # authority is 4x the gusted truth and the filter keeps certifying
         # "recoverable" all the way into the ground (measured: 0 effective
         # rescues at gust -2.0). The pad is the environment's disturbance
-        # BOUND — the filter never sees the realization.
+        # BOUND — the same expression the plant applies (shared via aux),
+        # never the realization.
         F_filter = aux["F"]
-        if args.gust != 0.0:
-            def F_filter(x, u, _F=aux["F"]):
-                g = args.gust * jax.nn.sigmoid((6.0 - x[1]) / 1.0)
-                return _F(x, u) + aux["dt"] * jnp.zeros(n_x).at[4].set(g)
+        if "gust_accel" in aux:
+            def F_filter(x, u, _F=aux["F"], _g=aux["gust_accel"]):
+                return _F(x, u) + aux["dt"] * jnp.zeros(n_x).at[4].set(_g(x))
         cinit_unf, cstep_unf = cinit, cstep
         cinit, cstep = make_filtered_controller(
             cinit, cstep, F_filter, backup, inv, fcfg
         )
-        cstate_info = filtered_controller_info
+        if cstate_info is None:
+            cstate_info = filtered_controller_info
+        else:
+            # the filter wraps the inner state as (inner, n_interventions):
+            # surface BOTH the inner controller's trace (e.g. the online
+            # learner's err_hist) and the filter's counters
+            inner_info = cstate_info
+            cstate_info = lambda st: {
+                **inner_info(st[0]), **filtered_controller_info(st)}
 
     camp = jax.jit(
         lambda xs: run_campaign(cinit, cstep, plant, xs, sim,

@@ -73,3 +73,36 @@ class TestScriptSmokes:
             "2", "--steps", "120", "--checkpoint", ck)
         assert "resumed after round 1" in out
         assert "FLEET LMPC: PASS" in out
+
+    def test_campaign_online_gp_mpc(self):
+        """The learning-during-control campaign path end-to-end: the GP
+        starts empty and the script's learning trace must show in-flight
+        error reduction."""
+        import json
+
+        out = run_script(
+            "run_campaign_tpu.py", "--cpu", "--controller", "online_gp_mpc",
+            "--batch", "4", "--steps", "120")
+        line = [l for l in out.splitlines() if l.startswith("{")][-1]
+        d = json.loads(line)
+        assert d["online_learning"]["model_err_reduction_x"] > 2.0, d
+        assert d["success_rate"] >= 0.75, d
+
+    def test_campaign_safety_gust_rescue(self):
+        """The filter-rescue composition end-to-end: gusted plant, funnel
+        invariant, disturbance-padded recoverability model."""
+        import json
+
+        out = run_script(
+            "run_campaign_tpu.py", "--cpu", "--controller", "rti",
+            "--safety-filter", "--gust", "-2.0",
+            "--batch", "8", "--steps", "150")
+        line = [l for l in out.splitlines() if l.startswith("{")][-1]
+        d = json.loads(line)
+        assert d["safety_filter"]["success_rate_delta"] > 0.0, d
+
+    def test_fleet_gp_learning(self):
+        out = run_script(
+            "run_fleet_learning_tpu.py", "--cpu", "--batch", "4",
+            "--rounds", "2", "--tune-steps", "10")
+        assert "FLEET GP LEARNING: PASS" in out
