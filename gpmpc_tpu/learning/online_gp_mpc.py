@@ -54,7 +54,7 @@ import jax
 import jax.numpy as jnp
 from flax import struct
 
-from ..gp import Simple3DoFGP, StructuredGPConfig
+from ..gp import Simple3DoFGP, StructuredGPConfig, StructuredRocketGP
 from ..gp.sparse_gp import refit_sparse_multi
 from ..gp.structured_gp import RingBuffer, _data_lengthscales, _stacked_kernels
 from ..mpc import GPMPCConfig
@@ -95,7 +95,7 @@ class OnlineGPMPCState:
 
     mpc: GPMPCState
     Xr: Array  # padded reference trajectory
-    gp: Simple3DoFGP
+    gp: object  # Simple3DoFGP (7-state) or StructuredRocketGP (14-state)
     x_prev: Array
     u_prev: Array
     have_prev: Array  # bool: (x_prev, u_prev) is a real flown transition
@@ -104,37 +104,51 @@ class OnlineGPMPCState:
     err_hist: Array  # (err_len,) one-step model |error| per cycle (nan=n/a)
 
 
+def _envelope_block(gcfg, Fe: Array, n_out: int, buf: RingBuffer):
+    """Multi-output sparse state for one GP block from envelope features:
+    evenly-subsampled Z, moment lengthscales, factors on the (empty) buffer."""
+    M = gcfg.n_inducing
+    idx = jnp.linspace(0, Fe.shape[0] - 1, M).round().astype(jnp.int32)
+    mask_all = jnp.ones(Fe.shape[0], bool)
+    kernels = _stacked_kernels(
+        gcfg.kernel, Fe.shape[1], n_out, _data_lengthscales(Fe, mask_all)
+    )
+    log_noise = jnp.full((n_out,), jnp.log(gcfg.noise), Fe.dtype)
+    return refit_sparse_multi(
+        kernels, Fe[idx], buf.X, buf.Y.T, buf.mask, log_noise, gcfg.method
+    )
+
+
 def init_online_gp(
     cfg: OnlineGPMPCConfig, x0: Array, x_target: Array, ref_horizon: int
-) -> Simple3DoFGP:
+):
     """Empty-buffer GP with envelope-derived inducing points and priors.
 
     Z = features along the lane's planned cubic descent (evenly subsampled);
     ARD lengthscales from the moments of those envelope features. With zero
     data the posterior equals the prior (zero mean), and the variance gate in
     ``predict_gated`` keeps the correction off until real data arrives.
+    14-state targets get the reference's 6-output structured model (separate
+    translational/rotational blocks, ``structured_gp.py:4-22``).
     """
     from ..reference import cubic_descent_reference
 
     gcfg = cfg.gp
-    gp = Simple3DoFGP.create(gcfg)
     Xr = cubic_descent_reference(x0, x_target, ref_horizon, cfg.dt)
     # hover-ish thrust along the profile: T ≈ m·g vertically
     Ur = jnp.zeros((Xr.shape[0], 3)).at[:, 0].set(Xr[:, 0])
+    if x0.shape[-1] >= 14:
+        gp = StructuredRocketGP.create(gcfg)
+        Ft = gp.trans_extractor.extract_batch(Xr, Ur)
+        Fr = gp.rot_extractor.extract_batch(Xr, Ur)
+        return gp.replace(
+            trans_gp=_envelope_block(gcfg, Ft, 3, gp.trans_buffer),
+            rot_gp=_envelope_block(gcfg, Fr, 3, gp.rot_buffer),
+            is_fitted=True,
+        )
+    gp = Simple3DoFGP.create(gcfg)
     Fe = gp.extractor.extract_batch(Xr, Ur)
-    M = gcfg.n_inducing
-    idx = jnp.linspace(0, Xr.shape[0] - 1, M).round().astype(jnp.int32)
-    Z = Fe[idx]
-    mask_all = jnp.ones(Fe.shape[0], bool)
-    kernels = _stacked_kernels(
-        gcfg.kernel, gp.extractor.n_features, 3, _data_lengthscales(Fe, mask_all)
-    )
-    log_noise = jnp.full((3,), jnp.log(gcfg.noise), Fe.dtype)
-    state = refit_sparse_multi(
-        kernels, Z, gp.buffer.X, gp.buffer.Y.T, gp.buffer.mask,
-        log_noise, gcfg.method,
-    )
-    return gp.replace(gp=state, is_fitted=True)
+    return gp.replace(gp=_envelope_block(gcfg, Fe, 3, gp.buffer), is_fitted=True)
 
 
 def _recent_Z(buf: RingBuffer, Z_fallback: Array) -> Array:
@@ -147,32 +161,37 @@ def _recent_Z(buf: RingBuffer, Z_fallback: Array) -> Array:
     return jnp.where(have[:, None], buf.X[idx], Z_fallback)
 
 
-def _refit_recent(gp: Simple3DoFGP) -> Simple3DoFGP:
-    """The cadenced in-loop update: re-center Z on the latest points and
-    recompute the FITC/VFE factors on the full masked buffer."""
-    g, buf = gp.gp, gp.buffer
-    Z = _recent_Z(buf, g.Z)
-    return gp.replace(
-        gp=refit_sparse_multi(
-            g.kernels, Z, buf.X, buf.Y.T, buf.mask, g.log_noise, g.method
-        )
+def _refit_block(g, buf: RingBuffer):
+    """Recenter one block's Z on the latest points and recompute factors."""
+    return refit_sparse_multi(
+        g.kernels, _recent_Z(buf, g.Z), buf.X, buf.Y.T, buf.mask,
+        g.log_noise, g.method,
     )
 
 
-def _refresh_hypers(gp: Simple3DoFGP, min_pts: int) -> Simple3DoFGP:
-    """Empirical-Bayes hyperparameter refresh on the buffered data, then a
-    factor refit. Runs on the low cadence; lanes below ``min_pts`` keep their
-    envelope-derived hyperparameters (per-lane predicate, lockstep cadence)."""
-    buf = gp.buffer
-    g = gp.gp
+def _refit_recent(gp):
+    """The cadenced in-loop update: re-center Z on the latest points and
+    recompute the FITC/VFE factors on the full masked buffer."""
+    if isinstance(gp, StructuredRocketGP):
+        return gp.replace(
+            trans_gp=_refit_block(gp.trans_gp, gp.trans_buffer),
+            rot_gp=_refit_block(gp.rot_gp, gp.rot_buffer),
+        )
+    return gp.replace(gp=_refit_block(gp.gp, gp.buffer))
+
+
+def _refresh_block(g, buf: RingBuffer, min_pts: int):
+    """Empirical-Bayes hyperparameter refresh of one block, then a refit.
+    Lanes below ``min_pts`` keep their envelope-derived hyperparameters
+    (per-lane predicate, lockstep cadence)."""
     take = buf.count >= min_pts
-    Z = _recent_Z(buf, g.Z)
+    n_out = g.log_noise.shape[0]
     kernels = g.kernels
     if hasattr(kernels, "log_lengthscales"):
         ls = _data_lengthscales(buf.X, buf.mask)
         kernels = kernels.replace(
             log_lengthscales=jnp.where(
-                take, jnp.tile(jnp.log(ls)[None], (3, 1)),
+                take, jnp.tile(jnp.log(ls)[None], (n_out, 1)),
                 kernels.log_lengthscales,
             )
         )
@@ -185,17 +204,36 @@ def _refresh_hypers(gp: Simple3DoFGP, min_pts: int) -> Simple3DoFGP:
         kernels = kernels.replace(
             log_variance=jnp.where(take, lv, kernels.log_variance)
         )
-    state = refit_sparse_multi(
-        kernels, Z, buf.X, buf.Y.T, buf.mask, g.log_noise, g.method
+    return refit_sparse_multi(
+        kernels, _recent_Z(buf, g.Z), buf.X, buf.Y.T, buf.mask,
+        g.log_noise, g.method,
     )
-    return gp.replace(gp=state)
 
 
-def _observe(
-    gp: Simple3DoFGP, f: Array, r: Array, accept: Array, min_distance: float
-) -> Tuple[Simple3DoFGP, Array]:
+def _refresh_hypers(gp, min_pts: int):
+    if isinstance(gp, StructuredRocketGP):
+        return gp.replace(
+            trans_gp=_refresh_block(gp.trans_gp, gp.trans_buffer, min_pts),
+            rot_gp=_refresh_block(gp.rot_gp, gp.rot_buffer, min_pts),
+        )
+    return gp.replace(gp=_refresh_block(gp.gp, gp.buffer, min_pts))
+
+
+def _observe(gp, x_prev: Array, u_prev: Array, r: Array, accept: Array,
+             min_distance: float):
     """Novelty-gated ring insert (``online_update.py:108-132`` semantics on
-    the masked static-shape store — see :meth:`RingBuffer.add_if_novel`)."""
+    the masked static-shape store — see :meth:`RingBuffer.add_if_novel`).
+    ``r`` is the learned-slice residual (3 or 6 outputs); the structured
+    model gates novelty on the translational features and admits both blocks
+    together (lockstep buffers, like ``add_data``)."""
+    if isinstance(gp, StructuredRocketGP):
+        ft = gp.trans_extractor.extract(x_prev, u_prev)
+        fr = gp.rot_extractor.extract(x_prev, u_prev)
+        tbuf, ok = gp.trans_buffer.add_if_novel(
+            ft, r[:3], min_distance, accept=accept)
+        rbuf, _ = gp.rot_buffer.add_if_novel(fr, r[3:6], -1.0, accept=ok)
+        return gp.replace(trans_buffer=tbuf, rot_buffer=rbuf), ok
+    f = gp.extractor.extract(x_prev, u_prev)
     buf, ok = gp.buffer.add_if_novel(f, r, min_distance, accept=accept)
     return gp.replace(buffer=buf), ok
 
@@ -216,15 +254,15 @@ def make_online_gp_mpc_controller(
     mcfg = cfg.mpc
     N = mcfg.base.N
     dt = cfg.dt
+    n_x = x_target.shape[-1]
 
-    def _mean_var(gp: Simple3DoFGP):
-        use = gp.buffer.count >= cfg.min_points
+    def _mean_var(gp):
+        use = gp.buffer_count >= cfg.min_points
+        lift = type(gp).lift_residual
 
         def mean_fn(x, u):
             m, _ = gp.predict_gated(x, u)
-            return Simple3DoFGP.lift_residual(
-                jnp.where(use, m, jnp.zeros_like(m)), x.shape[-1]
-            )
+            return lift(jnp.where(use, m, jnp.zeros_like(m)), n_x)
 
         def var_fn(x, u):
             v = gp.predict(x, u)[1]
@@ -261,9 +299,13 @@ def make_online_gp_mpc_controller(
         )
 
         # -- observe: residual of the flown transition into the ring buffer --
-        r = (x - step_fn(st.x_prev, st.u_prev))[4:7] / dt
-        f = gp.extractor.extract(st.x_prev, st.u_prev)
-        gp, accepted = _observe(gp, f, r, st.have_prev, cfg.min_distance)
+        err_full = (x - step_fn(st.x_prev, st.u_prev)) / dt
+        if n_x >= 14:
+            r = jnp.concatenate([err_full[4:7], err_full[11:14]])
+        else:
+            r = err_full[4:7]
+        gp, accepted = _observe(
+            gp, st.x_prev, st.u_prev, r, st.have_prev, cfg.min_distance)
 
         # -- cadenced refresh/refit (scalar predicates → real lax.cond) ------
         did_refresh = jnp.asarray(False)
@@ -305,7 +347,7 @@ def online_controller_info(st: OnlineGPMPCState) -> dict:
     learning trace (the artifact evidence that error falls DURING flight)."""
     return {
         "err_hist": st.err_hist,
-        "gp_points": st.gp.buffer.count,
+        "gp_points": st.gp.buffer_count,
         "n_accepted": st.n_accepted,
         "n_refits": st.n_refits,
     }

@@ -169,17 +169,46 @@ def build_6dof(args, jax, jnp):
     xT = r6.create_initial_state(p, altitude=0.0)
     ref_fn = lambda x0: cubic_descent_reference(x0, xT, args.ref_steps, base.dt)
 
-    if args.controller == "gp_mpc":
-        from gpmpc_tpu.learning import pretrain_gp_6dof
-
-        # light aero + steady wind within the lateral thrust authority: the
-        # discriminative disturbance (feedback leaves an offset, learned
-        # feedforward removes it; a 10x touchdown-accuracy gap vs nominal).
-        # Heavier aero saturates the thrust box (drag-limited descent) and
-        # no model knowledge helps — see tests/test_gp_mpc.py scenario note.
+    if args.controller in ("gp_mpc", "online_gp_mpc"):
+        # light aero + steady wind within the lateral thrust authority (see
+        # the gp_mpc note below)
         p_true = p.replace(rho=0.8, C_A=0.05 * jnp.eye(3))
         wind = jnp.zeros(14).at[5].set(0.10).at[6].set(0.06)
         plant = lambda x, u: r6.step(p_true, x, u, base.dt) + base.dt * wind
+
+    if args.controller == "online_gp_mpc":
+        from gpmpc_tpu.learning import (
+            OnlineGPMPCConfig,
+            make_online_gp_mpc_controller,
+            online_controller_info,
+        )
+
+        # the 14-state real-time config (1 SCP iter + tape + full iteration
+        # budget — see the --rt note) with the in-loop structured GP
+        cfg = GPMPCConfig(
+            base=base.replace(
+                admm=base.admm.replace(check_interval=50, scaling=2,
+                                       infeas_certs=False, iter_unroll=25),
+            ),
+            scp_iterations=1, tighten=True, rollout_gp_tape=True,
+        )
+        ocfg = OnlineGPMPCConfig(mpc=cfg)
+        cinit, cstep = make_online_gp_mpc_controller(
+            F, ocfg, xT, ref_fn, args.steps, args.steps
+        )
+        return cinit, cstep, plant, 14, {
+            "F": F, "dt": base.dt, "T_max": p.T_max,
+            "cstate_info": online_controller_info,
+        }
+
+    if args.controller == "gp_mpc":
+        from gpmpc_tpu.learning import pretrain_gp_6dof
+
+        # the dispersed plant above is the discriminative disturbance:
+        # feedback leaves an offset, learned feedforward removes it (a 10x
+        # touchdown-accuracy gap vs nominal). Heavier aero saturates the
+        # thrust box (drag-limited descent) and no model knowledge helps —
+        # see tests/test_gp_mpc.py scenario note.
         _, mean_fn, var_fn = pretrain_gp_6dof(
             jax.random.PRNGKey(42), p, plant, n_episodes=6
         )
@@ -264,8 +293,6 @@ def main() -> int:
         summarize,
     )
 
-    if args.controller == "online_gp_mpc" and args.model == "6dof":
-        raise SystemExit("online_gp_mpc currently composes the 3-DoF stack")
     if args.gust != 0.0 and (args.controller != "rti" or args.model != "3dof"):
         raise SystemExit(
             "--gust composes the 3-DoF rti controller only (other builds "

@@ -131,10 +131,10 @@ def test_novelty_gate_rejects_duplicates():
     x0 = jnp.array([2.0, 30.0, 0.0, 0.0, -3.0, 0.0, 0.0])
     xT = jnp.zeros(7).at[0].set(2.0)
     gp = init_online_gp(cfg, x0, xT, 50)
-    f = gp.extractor.extract(x0, jnp.array([2.0, 0.0, 0.0]))
+    u0 = jnp.array([2.0, 0.0, 0.0])
     r = jnp.array([0.1, 0.0, 0.0])
-    gp, ok1 = _observe(gp, f, r, jnp.asarray(True), cfg.min_distance)
-    gp, ok2 = _observe(gp, f, r, jnp.asarray(True), cfg.min_distance)
+    gp, ok1 = _observe(gp, x0, u0, r, jnp.asarray(True), cfg.min_distance)
+    gp, ok2 = _observe(gp, x0, u0, r, jnp.asarray(True), cfg.min_distance)
     assert bool(ok1) and not bool(ok2)
     assert int(gp.buffer.count) == 1
 
@@ -156,3 +156,41 @@ def test_recent_z_gather_matches_fifo():
     Z2 = np.asarray(_recent_Z(buf2, Z_env))
     np.testing.assert_allclose(Z2[0, 0], 1.0)
     np.testing.assert_allclose(Z2[1:, 0], -1.0)
+
+
+def test_online_learning_6dof_structured():
+    """The 14-state composition: per-lane 6-output structured GP learning
+    INSIDE the loop (both feature blocks observed in lockstep, recency-Z
+    refits per block) — error falls during flight, fleet lands."""
+    from gpmpc_tpu.dynamics import Rocket6DoFParams, rocket6dof as r6
+    from gpmpc_tpu.mpc import rti_config_6dof
+
+    p = Rocket6DoFParams()
+    dt = 0.1
+    F = lambda x, u: r6.step(p, x, u, dt)
+    p_true = p.replace(rho=0.8, C_A=0.05 * jnp.eye(3))
+    wind = jnp.zeros(14).at[5].set(0.10).at[6].set(0.06)
+    plant = lambda x, u: r6.step(p_true, x, u, dt) + dt * wind
+    xT = r6.create_initial_state(p, altitude=0.0)
+    base = rti_config_6dof(p, N=15, dt=dt, admm=ADMMConfig(
+        max_iter=100, check_interval=50, polish=False, adaptive_rho=False,
+        scaling=2, use_pallas="off", infeas_certs=False,
+    )).replace(accept_pri_tol=1e-2, condensed=True)
+    mcfg = GPMPCConfig(base=base, scp_iterations=1, tighten=True,
+                       rollout_gp_tape=True)
+    cfg = OnlineGPMPCConfig(mpc=mcfg)
+    steps = 140
+    ref_fn = lambda x0: cubic_descent_reference(x0, xT, 100, dt)
+    cinit, cstep = make_online_gp_mpc_controller(F, cfg, xT, ref_fn, steps, steps)
+    sim = SimulationConfig(max_steps=steps, altitude_mean=20.0, altitude_std=2.0)
+    x0s = sample_initial_conditions(jax.random.PRNGKey(0), sim, 4, n_x=14)
+    res = jax.device_get(jax.jit(
+        lambda xs: run_campaign(cinit, cstep, plant, xs, sim,
+                                cstate_info=online_controller_info)
+    )(x0s))
+    eh = np.asarray(res["err_hist"])
+    early = np.nanmean(eh[:, 2:12])
+    late = np.nanmean(eh[:, 60:110])
+    assert late < 0.5 * early, (early, late)
+    assert int((np.asarray(res["outcome"]) == 0).sum()) == 4
+    assert (np.asarray(res["gp_points"]) >= 30).all()
