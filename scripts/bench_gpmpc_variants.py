@@ -84,6 +84,8 @@ VARIANTS = {
                       unroll=10),
     "1x50_s2_u25": mk(50, 50, 1e-2, True, scp=1, certs=False, scaling=2,
                       unroll=25),
+    "1x50_s2_lanes": mk(50, 50, 1e-2, True, scp=1, certs=False, scaling=2,
+                        pallas="lanes"),
     "1x100_s2_u10": mk(100, 50, 1e-2, True, scp=1, certs=False, scaling=2,
                        unroll=10),
     # multi-lane VMEM-resident Pallas chunks (L lanes per grid cell)
