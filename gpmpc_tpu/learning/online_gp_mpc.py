@@ -83,10 +83,12 @@ class OnlineGPMPCConfig:
     refresh_every: int = struct.field(pytree_node=False, default=20)
     # hyperparameter refresh waits for this many points (data moments on a
     # near-degenerate trajectory snippet give collapsed lengthscales)
-    min_points_hypers: int = 24
-    min_points: int = 12  # activation gate (online_learner.py:244-248)
-    min_distance: float = 0.01  # novelty admission (online_update.py:108-132)
-    dt: float = 0.1
+    min_points_hypers: int = struct.field(pytree_node=False, default=24)
+    # activation gate (online_learner.py:244-248)
+    min_points: int = struct.field(pytree_node=False, default=12)
+    # novelty admission (online_update.py:108-132)
+    min_distance: float = struct.field(pytree_node=False, default=0.01)
+    dt: float = struct.field(pytree_node=False, default=0.1)
 
 
 @struct.dataclass

@@ -38,7 +38,7 @@ from ..ops.qp import (
 )
 from ..ops.qp.condensed import build_condensed_qp, recover_states
 from ..terminal.convex_hull import hull_constraint_rows
-from ..terminal.local_safe_set import knn_query
+from ..terminal.local_safe_set import KNNResult, knn_query
 from ..terminal.safe_set import SafeSet
 
 Array = jax.Array
@@ -100,6 +100,20 @@ class LMPCConfig:
     # trajectories join the set). Off by default: the mixed hull is the
     # reference's construction (lmpc.py:267-345) and is less conservative.
     hull_same_trajectory: bool = struct.field(pytree_node=False, default=False)
+    # Q-aware terminal candidates: query this many NEAREST states, then keep
+    # the n_terminal_vertices with LOWEST stored cost-to-go among them
+    # (0 = off: plain nearest-K, the reference's policy). Motivation: on a
+    # fleet-scale safe set (10⁵-10⁶ states) the 10 nearest neighbors of the
+    # predicted terminal state are near-duplicates from many lanes crossing
+    # the same region, all with interchangeable mediocre Q — the value
+    # iteration has no descent direction and V(x0) flatlines while candidate
+    # churn lets realized cost regress (measured, round-3 1024-lane
+    # artifact: V stuck at 104.9k, probe 95.6k → 105.0k). Selecting the
+    # lowest-Q vertices WITHIN the local pool keeps the hull anchored to
+    # reachable states (the pool is still the nearest ones) but always
+    # offers the best locally-known continuations, which is what
+    # Q^{j+1} ≤ Q^j needs (lmpc.py:4-24).
+    candidate_pool: int = struct.field(pytree_node=False, default=0)
     # condensed form: states eliminated via X = G·U + d, z = [U; λ; s]
     # (~4.5× fewer variables at N=15, ~17× less ADMM matvec traffic with the
     # row structure declared) — the same QP, solution-parity-tested against
@@ -231,10 +245,21 @@ def lmpc_solve(
     # (with the endgame fallback — see knn_query: an emptied filter would
     # make the Σλ=1 row infeasible for the rest of the episode)
     fuel_avail = x0[0] - config.m_dry - config.fuel_margin
+    pool = max(config.candidate_pool, K) if config.candidate_pool else K
     res = knn_query(
-        safe_set, X_sim[-1], K, fuel_available=fuel_avail,
+        safe_set, X_sim[-1], pool, fuel_available=fuel_avail,
         fallback_unfiltered=config.fuel_filter_fallback,
     )
+    if pool > K:
+        # keep the K lowest-Q valid candidates of the local pool (invalid
+        # rows sort last and stay invalid after the gather)
+        score = jnp.where(res.valid, res.q_values, jnp.inf)
+        _, sel = jax.lax.top_k(-score, K)
+        res = KNNResult(
+            indices=res.indices[sel], distances=res.distances[sel],
+            states=res.states[sel], q_values=res.q_values[sel],
+            valid=res.valid[sel],
+        )
     if config.hull_same_trajectory:
         tids = safe_set.traj_ids[res.indices]
         nearest = jnp.argmin(jnp.where(res.valid, res.distances, jnp.inf))
@@ -427,9 +452,14 @@ def lmpc_plan_value(
 
     _, sols = jax.lax.scan(body, st, None, length=settle)
     sol = jax.tree.map(lambda a: a[-1], sols)
-    e = sol.X_opt - x_target[None]
-    plan = jnp.einsum("ki,ij,kj->", e[:-1], config.Q, e[:-1]) + jnp.einsum(
-        "ki,ij,kj->", sol.U_opt, config.R, sol.U_opt
+    # sum the SAME stage cost that populates the safe set's Q-values
+    # (default_stage_cost includes the touchdown-gate shaping on 7-state
+    # layouts) — a bare Q/R quadratic here would mix two cost definitions
+    # in V(x0) = plan + terminal Q whenever the plan dips near the gate
+    plan = jnp.sum(
+        jax.vmap(lambda x, u: default_stage_cost(x, u, x_target, config))(
+            sol.X_opt[:-1], sol.U_opt
+        )
     )
     return plan + sol.terminal_q, sol.success
 

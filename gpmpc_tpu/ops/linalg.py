@@ -96,7 +96,11 @@ def robust_cholesky(M: Array, jitters=(0.0, 1e-8, 1e-6, 1e-4, 1e-2)) -> Tuple[Ar
     js = jnp.asarray(jitters, M.dtype) * scale
     Ls = jax.vmap(lambda j: jnp.linalg.cholesky(M + j * eye))(js)
     ok = jax.vmap(lambda L: jnp.all(jnp.isfinite(L)))(Ls)
-    idx = jnp.argmax(ok)  # first finite factorization
+    # first finite factorization; if NONE is finite, take the LAST (largest
+    # jitter) level rather than argmax-of-all-False's level 0 — level 0 is
+    # the raw matrix and would silently hand a NaN factor to callers that
+    # carry it forever (e.g. a lane's online GP)
+    idx = jnp.where(jnp.any(ok), jnp.argmax(ok), len(jitters) - 1)
     return Ls[idx], js[idx]
 
 

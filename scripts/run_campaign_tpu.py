@@ -272,6 +272,18 @@ def main() -> int:
                          "results (lanes are independent).")
     ap.add_argument("--sparse", action="store_true",
                     help="sparse z=[x;u] QP instead of the condensed form")
+    ap.add_argument("--sharded", action="store_true",
+                    help="shard the scenario axis over ALL visible devices "
+                         "on a ('hosts','chips') mesh (the multi-chip DP "
+                         "path; on one chip it degenerates to the plain "
+                         "run). Statistics run as explicit shard_map+psum; "
+                         "prints a per-device throughput account. Combine "
+                         "with --parity to ALSO fly the first shard's lanes "
+                         "unsharded and assert lane-for-lane outcome "
+                         "equality (sharding must not change numerics).")
+    ap.add_argument("--parity", action="store_true",
+                    help="with --sharded: unsharded re-run of shard 0's "
+                         "lanes + exact lane-for-lane comparison")
     ap.add_argument("--out", type=str, default=None, help="write JSON here")
     args = ap.parse_args()
 
@@ -367,13 +379,26 @@ def main() -> int:
         # recompile inside the timed window
         raise SystemExit(f"--chunk {chunk} must divide --batch {args.batch}")
 
+    mesh = None
+    if args.sharded:
+        from gpmpc_tpu.parallel import hosts_chips_mesh, shard_over_mesh
+
+        mesh = hosts_chips_mesh()
+        n_dev = mesh.devices.size
+        if chunk % n_dev != 0:
+            raise SystemExit(
+                f"--sharded needs chunk {chunk} divisible by {n_dev} devices")
+        place = lambda xs: shard_over_mesh(mesh, xs)
+    else:
+        place = lambda xs: xs
+
     def timed():
         # fetch a scalar to anchor the timing (block_until_ready does not
         # block through the axon relay)
         t0 = time.time()
         parts = []
         for i in range(0, args.batch, chunk):
-            r = camp(x0s[i : i + chunk])
+            r = camp(place(x0s[i : i + chunk]))
             float(jax.device_get(jnp.sum(r["outcome"])))
             parts.append(r)
         res = jax.tree.map(lambda *xs: jnp.concatenate(xs), *parts)
@@ -381,7 +406,7 @@ def main() -> int:
 
     # warm/compile on the first chunk only (all chunks share the program)
     t0 = time.time()
-    r0 = camp(x0s[:chunk])
+    r0 = camp(place(x0s[:chunk]))
     float(jax.device_get(jnp.sum(r0["outcome"])))
     compile_s = time.time() - t0
     res, run_s = timed()
@@ -404,6 +429,51 @@ def main() -> int:
         "landing_error_mean": float(stats["landing_error_mean"]),
         "fuel_used_mean": float(stats["fuel_used_mean"]),
     }
+    if args.sharded:
+        from gpmpc_tpu.parallel import (
+            shard_over_mesh,
+            sharded_campaign_statistics,
+        )
+
+        # explicit shard_map+psum statistics over the mesh (the designed
+        # cross-shard reduction, not the compiler-inferred one) — timed, so
+        # the collective cost at this shape is on the record
+        fields = {
+            k: shard_over_mesh(mesh, res[k])
+            for k in ("outcome", "fuel_used", "landing_speed",
+                      "landing_error", "steps")
+        }
+        t0 = time.time()
+        pstats = jax.device_get(sharded_campaign_statistics(mesh, fields))
+        psum_s = time.time() - t0
+        assert abs(float(pstats["success_rate"])
+                   - float(stats["success_rate"])) < 1e-6
+        n_dev = mesh.devices.size
+        out["sharded"] = {
+            "mesh": list(mesh.devices.shape),
+            "devices": n_dev,
+            "lanes_per_device": args.batch // n_dev,
+            "cycle_wall_ms": round(1e3 * run_s / args.steps, 2),
+            "effective_hz_per_lane": round(args.steps / run_s, 1),
+            "psum_stats_wall_s": round(psum_s, 3),
+            "success_rate_psum": float(pstats["success_rate"]),
+        }
+        if args.parity:
+            # unsharded re-fly of shard 0's lanes: sharding a lane-
+            # independent campaign must not change a single outcome
+            per_dev = chunk // n_dev
+            sub = x0s[:per_dev]
+            r1 = camp(sub)
+            same_ids = jnp.array_equal(
+                res["outcome"][:per_dev], r1["outcome"])
+            du = float(jnp.max(jnp.abs(
+                res["fuel_used"][:per_dev] - r1["fuel_used"])))
+            out["sharded"]["parity"] = {
+                "lanes": int(per_dev),
+                "outcomes_identical": bool(jax.device_get(same_ids)),
+                "fuel_max_abs_diff": du,
+            }
+            assert bool(jax.device_get(same_ids)), "sharded outcome mismatch"
     if args.controller == "online_gp_mpc":
         # the learning trace: mean one-step model error per cycle across live
         # lanes — the evidence the GP improves DURING the campaign

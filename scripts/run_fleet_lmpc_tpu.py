@@ -96,6 +96,13 @@ def main() -> int:
                          "~1.0-1.35 m/s, probe improves on seed over 6 "
                          "rounds; heavier weights destabilize late rounds — "
                          "see LMPCConfig). 0 disables.")
+    ap.add_argument("--pool", type=int, default=0,
+                    help="Q-aware terminal candidates: take this many "
+                         "nearest safe-set states and keep the K lowest-Q "
+                         "(LMPCConfig.candidate_pool; 0 = plain nearest-K)")
+    ap.add_argument("--same-traj", action="store_true",
+                    help="restrict hull vertices to the nearest neighbor's "
+                         "trajectory (LMPCConfig.hull_same_trajectory)")
     ap.add_argument("--out", type=str, default=None)
     ap.add_argument("--checkpoint", type=str, default=None,
                     help="directory for between-round checkpoints (safe set "
@@ -138,6 +145,8 @@ def main() -> int:
     cfg = LMPCConfig(
         solver=args.solver,
         touchdown_speed_weight=args.touchdown_weight,
+        candidate_pool=args.pool,
+        hull_same_trajectory=args.same_traj,
     )
     xT = jnp.zeros(7).at[0].set(2.0)
     step = lambda x, u: r3.step(p, x, u, cfg.dt)
