@@ -11,7 +11,7 @@ quick with/without-GP comparison (``run_simple_ablation``, ``:438-487``).
 from __future__ import annotations
 
 from dataclasses import dataclass
-from itertools import product
+from itertools import combinations, product
 from typing import Callable, Dict, Optional, Sequence
 
 import jax
@@ -90,10 +90,24 @@ class AblationStudy:
     def run_minimal(self, x0s) -> AblationResult:
         return self._run("minimal", (), x0s)
 
-    def run(self, x0s) -> Dict[str, AblationResult]:
-        """Full sweep (``ablation.py:270-317``)."""
+    def run_pairwise(self, x0s) -> Dict[str, AblationResult]:
+        """Drop each PAIR of components (interaction effects,
+        ``ablation.py:293-300``)."""
+        out = {}
+        for c1, c2 in combinations(self.components, 2):
+            enabled = tuple(c for c in self.components if c not in (c1, c2))
+            name = f"no_{c1}+{c2}"
+            out[name] = self._run(name, enabled, x0s)
+        return out
+
+    def run(self, x0s, pairwise: Optional[bool] = None) -> Dict[str, AblationResult]:
+        """Full sweep (``ablation.py:270-317``). ``pairwise=None`` mirrors
+        the reference's gate: run the pair sweep only when ≤4 components
+        (C(k,2) campaigns get expensive past that); True/False forces."""
         out = {"full": self.run_full(x0s)}
         out.update(self.run_leave_one_out(x0s))
+        if pairwise or (pairwise is None and len(self.components) <= 4):
+            out.update(self.run_pairwise(x0s))
         out["minimal"] = self.run_minimal(x0s)
         return out
 
@@ -106,6 +120,59 @@ class AblationStudy:
             for name, r in results.items()
             if name != "full"
         }
+
+    @staticmethod
+    def interaction_table(results: Dict[str, AblationResult]) -> Dict[str, dict]:
+        """Pairwise interaction effects: for each ``no_{a}+{b}`` config, the
+        success-rate delta beyond what the two single ablations predict
+        additively (positive superadditive = the components back each other
+        up; the quantity the reference's pairwise sweep exists to surface,
+        ``ablation.py:293-300``)."""
+        full_sr = results["full"].metrics.success_rate
+        out = {}
+        for name, r in results.items():
+            if not name.startswith("no_") or "+" not in name:
+                continue
+            a, b = name[3:].split("+", 1)
+            da = results[f"no_{a}"].metrics.success_rate - full_sr
+            db = results[f"no_{b}"].metrics.success_rate - full_sr
+            dab = r.metrics.success_rate - full_sr
+            out[name] = {
+                "pair_delta": dab,
+                "additive_prediction": da + db,
+                "interaction": dab - (da + db),
+            }
+        return out
+
+    @staticmethod
+    def to_latex_table(results: Dict[str, AblationResult]) -> str:
+        """Publication LaTeX table (``ablation.py:159-183``)."""
+        rows = []
+        for name, r in results.items():
+            m = r.metrics
+            esc = name.replace("_", "\\_")
+            rows.append(
+                f"{esc} & {100 * m.success_rate:.1f} & "
+                f"{m.fuel_mean:.3f} & {m.landing_error_mean * 1e3:.1f} & "
+                f"{m.landing_speed_mean:.2f} \\\\"
+            )
+        return "\n".join(
+            [
+                r"\begin{table}[h]",
+                r"\centering",
+                r"\caption{Ablation Study Results}",
+                r"\label{tab:ablation}",
+                r"\begin{tabular}{lcccc}",
+                r"\toprule",
+                r"Configuration & Success Rate (\%) & Fuel (kg) & "
+                r"Error (mm) & Touchdown (m/s) \\",
+                r"\midrule",
+                *rows,
+                r"\bottomrule",
+                r"\end{tabular}",
+                r"\end{table}",
+            ]
+        )
 
 
 class HyperparameterSweep:

@@ -15,10 +15,53 @@ from typing import Dict, Optional, Sequence
 
 import numpy as np
 
+# Okabe-Ito colorblind-safe hues (the same CVD-safe basis the reference's
+# COLORS uses, visualization.py:45-57), ordered so adjacent pairs differ in
+# both hue and lightness; the very light pink is excluded from the cycle
+# (insufficient contrast on a white publication surface).
 COLORBLIND_PALETTE = [
     "#0173B2", "#DE8F05", "#029E73", "#D55E00",
-    "#CC78BC", "#CA9161", "#FBAFE4", "#949494",
+    "#CC78BC", "#CA9161", "#949494",
 ]
+
+# Semantic assignment: color follows the CONTROLLER identity, in fixed order
+# (never repainted when a subset is plotted) — mirrors the reference's named
+# scheme (visualization.py:45-57).
+COLORS = {
+    "gp_mpc": "#0173B2",     # blue
+    "nominal": "#DE8F05",    # orange
+    "lqr": "#029E73",        # green
+    "tube_mpc": "#CC78BC",   # pink
+    "safety": "#D55E00",     # vermillion
+    "reference": "#949494",  # gray
+    "success": "#0173B2",
+    "failure": "#D55E00",
+}
+
+
+def publication_style() -> dict:
+    """The reference's publication rcParams (``visualization.py:27-43``):
+    serif text, 300-dpi savefig, recessive grid, thin lines, plus the
+    colorblind cycle. Returns the dict so callers can tweak before applying;
+    ``_plt()`` applies it for every figure in this module."""
+    import matplotlib
+
+    return {
+        "font.family": "serif",
+        "font.size": 10,
+        "axes.labelsize": 11,
+        "axes.titlesize": 12,
+        "legend.fontsize": 9,
+        "xtick.labelsize": 9,
+        "ytick.labelsize": 9,
+        "figure.dpi": 150,
+        "savefig.dpi": 300,
+        "savefig.bbox": "tight",
+        "axes.grid": True,
+        "grid.alpha": 0.3,
+        "lines.linewidth": 1.5,
+        "axes.prop_cycle": matplotlib.cycler(color=COLORBLIND_PALETTE),
+    }
 
 
 def _plt():
@@ -27,13 +70,7 @@ def _plt():
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
 
-    plt.rcParams.update({
-        "figure.dpi": 120,
-        "font.size": 9,
-        "axes.grid": True,
-        "grid.alpha": 0.3,
-        "axes.prop_cycle": matplotlib.cycler(color=COLORBLIND_PALETTE),
-    })
+    plt.rcParams.update(publication_style())
     return plt
 
 
@@ -174,6 +211,48 @@ def create_summary_figure(results: Dict, X_example=None, dt: float = 0.1,
     ax4 = fig.add_subplot(2, 2, 4)
     if X_example is not None:
         TrajectoryVisualizer().plot_trajectory_2d(X_example, ax4)
+    fig.tight_layout()
+    if path:
+        fig.savefig(path, bbox_inches="tight")
+    return fig
+
+
+def create_ablation_figure(results: Dict, path: Optional[str] = None):
+    """Two-panel ablation figure (``visualization.py:613-658``): horizontal
+    success-rate bars (the magnitude-comparison form) and fuel-used bars with
+    spread, one row per configuration. ``results`` is the dict returned by
+    :meth:`AblationStudy.run` (name → AblationResult).
+
+    The full configuration keeps the primary series hue; every ablated
+    configuration wears the neutral comparison hue (color marks the ENTITY
+    class — full vs ablated — not the bar's rank)."""
+    plt = _plt()
+    fig, (ax1, ax2) = plt.subplots(1, 2, figsize=(8.0, 0.45 * max(len(results), 6) + 1.5))
+    names = list(results)
+    ms = [results[n].metrics for n in names]
+    colors = [COLORS["gp_mpc"] if n == "full" else COLORS["reference"]
+              for n in names]
+    y = np.arange(len(names))[::-1]  # full on top
+
+    rates = [100.0 * m.success_rate for m in ms]
+    ax1.barh(y, rates, color=colors, height=0.62)
+    for yi, v in zip(y, rates):
+        ax1.text(min(v + 1.5, 97.0), yi, f"{v:.0f}", va="center", fontsize=8)
+    ax1.set_yticks(y, names)
+    ax1.set_xlim(0, 105)
+    ax1.set_xlabel("success rate [%]")
+    ax1.set_title("(a) Ablation: success")
+    ax1.grid(axis="y", visible=False)
+
+    fuels = [m.fuel_mean for m in ms]
+    stds = [m.fuel_std for m in ms]
+    ax2.barh(y, fuels, xerr=stds, color=colors, height=0.62,
+             error_kw={"elinewidth": 1.0, "capsize": 2.0})
+    ax2.set_yticks(y, ["" for _ in names])
+    ax2.set_xlabel("fuel used [kg]")
+    ax2.set_title("(b) Ablation: fuel")
+    ax2.grid(axis="y", visible=False)
+
     fig.tight_layout()
     if path:
         fig.savefig(path, bbox_inches="tight")

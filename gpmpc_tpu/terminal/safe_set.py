@@ -165,6 +165,83 @@ def prune_quality(ss: SafeSet, keep: int) -> SafeSet:
     )
 
 
+def prune_fifo(ss: SafeSet, keep: int) -> SafeSet:
+    """Keep the ``keep`` most recently WRITTEN states (FIFO pruning,
+    ``memory_safe_set.py:229-235`` — the reference drops oldest
+    trajectories; here recency is per-state write order, recovered from the
+    ring-buffer head)."""
+    # age 0 = the slot just behind head (most recent write)
+    age = (ss.head - 1 - jnp.arange(ss.capacity)) % ss.capacity
+    score = jnp.where(ss.mask, age, ss.capacity + 1)
+    order = jnp.argsort(score)
+    keep_mask = jnp.zeros(ss.capacity, bool).at[order[:keep]].set(True) & ss.mask
+    return ss.replace(
+        traj_ids=jnp.where(keep_mask, ss.traj_ids, -1),
+        count=jnp.sum(keep_mask).astype(jnp.int32),
+    )
+
+
+def prune_diversity(ss: SafeSet, keep: int, resolution: int = 64) -> SafeSet:
+    """Diversity pruning: keep the lowest-Q state per occupied cell of a
+    state-space voxel grid, then quality-prune the survivors to ``keep``.
+
+    The reference declares a diversity strategy but falls back to FIFO
+    (``memory_safe_set.py:245-248`` — "For now, use FIFO as fallback");
+    this is a real one, built for the failure mode fleet-scale sets
+    actually hit: thousands of lanes crossing the same region deposit
+    near-duplicate states with interchangeable Q, starving the KNN terminal
+    sets of variety. Voxel dedup is O(n log n) (sort, not the O(keep·n)
+    farthest-point scan — intractable at 10⁶ rows) and keeps exactly the
+    best-known continuation in every visited region. ``resolution`` is the
+    cells-per-dimension of the grid over the active states' bounding box.
+    """
+    m = ss.mask
+    mf = m.astype(ss.states.dtype)
+    denom = jnp.maximum(jnp.sum(mf), 1.0)
+    mean = jnp.sum(ss.states * mf[:, None], axis=0) / denom
+    var = jnp.sum((ss.states - mean) ** 2 * mf[:, None], axis=0) / denom
+    # ~±3σ bounding box; constant dimensions collapse to one cell
+    half = jnp.maximum(3.0 * jnp.sqrt(var), 1e-6)
+    cell = jnp.clip(
+        jnp.floor((ss.states - mean + half) / (2.0 * half) * resolution),
+        0, resolution - 1,
+    ).astype(jnp.int32)
+    # mix per-dimension cell ids into one int32 key (collisions just merge
+    # two cells — harmless for a pruning heuristic)
+    def mix(h, c):
+        return (h * jnp.int32(1000003) + c).astype(jnp.int32), None
+
+    key0 = jnp.zeros(ss.capacity, jnp.int32)
+    key, _ = jax.lax.scan(mix, key0, cell.T)
+    # sort by (voxel, Q): the first row of each voxel run is its best state.
+    # inactive rows sort last under a +inf rank so they never claim a voxel.
+    q = jnp.where(m, ss.q_values, jnp.inf)
+    order = jnp.lexsort((q, jnp.where(m, key, jnp.iinfo(jnp.int32).max)))
+    sk = key[order]
+    first = jnp.ones(ss.capacity, bool).at[1:].set(sk[1:] != sk[:-1])
+    best_per_voxel = jnp.zeros(ss.capacity, bool).at[order].set(first) & m
+    pruned = ss.replace(
+        traj_ids=jnp.where(best_per_voxel, ss.traj_ids, -1),
+        count=jnp.sum(best_per_voxel).astype(jnp.int32),
+    )
+    return prune_quality(pruned, keep)
+
+
+def prune(ss: SafeSet, keep: int, strategy: str = "quality", **kw) -> SafeSet:
+    """Dispatch on the reference's pruning-strategy names
+    (``memory_safe_set.py:218-228``)."""
+    fns = {
+        "quality": prune_quality,
+        "fifo": prune_fifo,
+        "diversity": prune_diversity,
+    }
+    if strategy not in fns:
+        raise ValueError(
+            f"unknown pruning strategy {strategy!r}; expected one of {sorted(fns)}"
+        )
+    return fns[strategy](ss, keep, **kw)
+
+
 def merge_safe_sets(sets: list[SafeSet], capacity: Optional[int] = None) -> SafeSet:
     """Concatenate several stores and keep the best ``capacity`` states —
     the deterministic global merge used after an ``all_gather`` of per-host

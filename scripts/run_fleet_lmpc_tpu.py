@@ -103,6 +103,14 @@ def main() -> int:
     ap.add_argument("--same-traj", action="store_true",
                     help="restrict hull vertices to the nearest neighbor's "
                          "trajectory (LMPCConfig.hull_same_trajectory)")
+    ap.add_argument("--prune", choices=["quality", "fifo", "diversity"],
+                    default=None,
+                    help="between-round pruning strategy: when the safe set "
+                         "fills past 90%% of capacity, prune to 80%% "
+                         "(reference memory_safe_set.py:210-228 semantics; "
+                         "pair with a small --capacity to exercise "
+                         "saturation). Default: none (ring-buffer FIFO "
+                         "overwrite on insert).")
     ap.add_argument("--out", type=str, default=None)
     ap.add_argument("--checkpoint", type=str, default=None,
                     help="directory for between-round checkpoints (safe set "
@@ -234,6 +242,17 @@ def main() -> int:
             outs.append(out)
         out = jax.tree.map(lambda *xs: jnp.concatenate(xs), *outs)
         ss = add_many(ss, out["X"], out["U"], out["costs"], out["success"])
+        pruned_to = None
+        if args.prune is not None:
+            from gpmpc_tpu.terminal import prune as prune_ss
+
+            fill = float(jax.device_get(ss.count)) / cap
+            if fill > 0.9:
+                ss = jax.jit(
+                    lambda s: prune_ss(s, int(0.8 * cap), strategy=args.prune),
+                    # the strategy string is baked into the traced program
+                )(ss)
+                pruned_to = int(jax.device_get(ss.count))
         n_traj = int(jax.device_get(ss.n_trajectories))
         dt_round = time.time() - t0
         summary = {
@@ -267,6 +286,8 @@ def main() -> int:
                     jnp.nan))), 3)
                 if n_landed > 0 else None),
             "safe_set_trajectories": n_traj,
+            "safe_set_states": int(jax.device_get(ss.count)),
+            "pruned_to": pruned_to,
             "wall_s": round(dt_round, 1),
             "lmpc_cycles_per_s": round(
                 args.batch * args.steps / dt_round, 1),
@@ -293,6 +314,7 @@ def main() -> int:
         "rounds": args.rounds,
         "max_steps": args.steps,
         "safe_set_capacity": cap,
+        "prune_strategy": args.prune,
         "devices": [str(d) for d in jax.devices()],
         "seed_cost": round(seed_cost, 1),
         "probe_lane_costs": lane0_costs,

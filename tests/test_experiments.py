@@ -188,6 +188,43 @@ class TestAnalysis:
         out = run_simple_ablation(good, bad, plant, x0s, sim)
         assert out["with_gp"].success_rate > out["without_gp"].success_rate
 
+    def test_ablation_pairwise_and_latex(self, p3):
+        from tests.test_monte_carlo import make_hover_descent_controller
+        from gpmpc_tpu.experiments import AblationStudy
+
+        sim = SimulationConfig(max_steps=250, altitude_mean=12.0, altitude_std=0.5)
+        x0s = sample_initial_conditions(jax.random.PRNGKey(0), sim, 6)
+        plant = lambda x, u: r3.step(p3, x, u, DT)
+        good = make_hover_descent_controller(p3)
+        dead = (lambda x0: jnp.zeros(0),
+                lambda c, x, k: (jnp.zeros(3), c))
+
+        # two components that each independently break the controller
+        def factory(ctrl=True, aux=True):
+            return good if (ctrl and aux) else dead
+
+        study = AblationStudy(factory, plant, sim, components=("ctrl", "aux"))
+        results = study.run(x0s)  # ≤4 components → pairwise runs by default
+        assert "no_ctrl+aux" in results
+        assert results["full"].metrics.success_rate > 0.5
+        assert results["no_ctrl+aux"].metrics.success_rate == 0.0
+        inter = AblationStudy.interaction_table(results)
+        # both singles already zero out success, so the pair delta is NOT
+        # additive: interaction = dab - (da+db) = -1 - (-2) = +1
+        assert abs(inter["no_ctrl+aux"]["interaction"]
+                   - results["full"].metrics.success_rate) < 1e-6
+        tex = AblationStudy.to_latex_table(results)
+        assert r"\begin{tabular}" in tex and "no\\_ctrl+aux" in tex
+
+        # the ablation figure renders from the same results dict
+        import tempfile, os
+        from gpmpc_tpu.experiments import create_ablation_figure
+
+        with tempfile.TemporaryDirectory() as d:
+            path = os.path.join(d, "ablation.png")
+            create_ablation_figure(results, path=path)
+            assert os.path.getsize(path) > 1000
+
 
 class TestVisualization:
     def test_summary_figure_renders(self, p3, tmp_path):

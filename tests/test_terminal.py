@@ -22,6 +22,9 @@ from gpmpc_tpu.terminal import (
     local_linear_q,
     merge_safe_sets,
     project_onto_hull,
+    prune,
+    prune_diversity,
+    prune_fifo,
     prune_quality,
 )
 
@@ -82,6 +85,63 @@ class TestSafeSet:
         dropped_q = jnp.where(ss.mask & ~pruned.mask, ss.q_values, -jnp.inf)
         assert float(jnp.max(jnp.where(pruned.mask, kept_q, -jnp.inf))) <= float(
             jnp.min(jnp.where(ss.mask & ~pruned.mask, ss.q_values, jnp.inf))) + 1e-5
+
+    def test_prune_fifo_keeps_most_recent(self, rng):
+        ss = make_safe_set(rng)  # 3 trajectories x 20 states, write order 0..59
+        pruned = prune_fifo(ss, 20)
+        assert int(pruned.count) == 20
+        # survivors are exactly the LAST trajectory written (traj id 2)
+        assert int(jnp.sum(pruned.mask & (pruned.traj_ids == 2))) == 20
+
+    def test_prune_fifo_respects_ring_wraparound(self, rng):
+        # capacity 32 < 3*20: the ring has wrapped, oldest live states sit
+        # AFTER head — recency must follow write order, not slot index
+        ss = make_safe_set(rng, capacity=32)
+        pruned = prune_fifo(ss, 10)
+        assert int(pruned.count) == 10
+        # the 10 most recent writes are the tail of trajectory 2
+        assert int(jnp.sum(pruned.mask & (pruned.traj_ids == 2))) == 10
+
+    def test_prune_diversity_dedups_near_duplicates(self, rng):
+        ss = SafeSet.create(256, 7)
+        # 8 copies of the same trajectory (different Q offsets) + 1 distinct
+        base = np.zeros((16, 7), np.float32)
+        base[:, 0] = np.linspace(2.0, 1.8, 16)
+        base[:, 1] = np.linspace(20.0, 0.0, 16)
+        for t in range(8):
+            costs = (np.linspace(2.0, 0.1, 16) ** 2 + 0.01 * t).astype(np.float32)
+            ss = ss.add_trajectory(
+                jnp.asarray(base), jnp.zeros((16, 3)), jnp.asarray(costs))
+        far = base + np.float32(5.0)
+        ss = ss.add_trajectory(
+            jnp.asarray(far), jnp.zeros((16, 3)),
+            jnp.asarray(np.full(16, 3.0, np.float32)))
+        pruned = prune_diversity(ss, 64)
+        # duplicates collapse: well under the 9*16=144 stored states survive,
+        # but the far trajectory's region is still represented
+        assert int(pruned.count) < 100
+        assert int(jnp.sum(pruned.mask & (pruned.traj_ids == 8))) > 0
+        # per surviving voxel the LOWEST-Q copy won: every survivor from the
+        # duplicated region carries the t=0 trajectory's Q (lowest offset)
+        dup = pruned.mask & (pruned.traj_ids < 8)
+        assert int(jnp.sum(dup & (pruned.traj_ids == 0))) == int(jnp.sum(dup))
+
+    def test_prune_dispatch(self, rng):
+        ss = make_safe_set(rng)
+        for strategy in ("quality", "fifo", "diversity"):
+            out = prune(ss, 15, strategy=strategy)
+            assert int(out.count) <= 15
+        try:
+            prune(ss, 15, strategy="nope")
+            raise AssertionError("expected ValueError")
+        except ValueError:
+            pass
+
+    def test_prune_jittable(self, rng):
+        ss = make_safe_set(rng)
+        f = jax.jit(lambda s: prune_diversity(s, 20))
+        out = f(ss)
+        assert int(out.count) <= 20
 
     def test_merge(self, rng):
         a = make_safe_set(rng, n_traj=2)
