@@ -48,6 +48,15 @@ class StructuredGPConfig:
     method: str = struct.field(pytree_node=False, default="fitc")
     noise: float = 1e-4
     novelty_threshold: float = 0.3  # var > τ·prior_var ⇒ novel (":340-359")
+    # optional fixed ARD lengthscale inits per feature group (reference
+    # gp_params.yaml:40-44); None = data-driven (_data_lengthscales). Tuples
+    # (static) so the config stays hashable under jit.
+    trans_lengthscales: Optional[tuple] = struct.field(
+        pytree_node=False, default=None)
+    rot_lengthscales: Optional[tuple] = struct.field(
+        pytree_node=False, default=None)
+    # initial signal variance per group (reference gp_params.yaml:46-49)
+    signal_variance: float = struct.field(pytree_node=False, default=1.0)
 
 
 @struct.dataclass
@@ -211,9 +220,11 @@ class StructuredRocketGP:
         cfg = self.config
         kt, kr = jax.random.split(key)
 
-        def fit_one(key, buf, d):
+        def fit_one(key, buf, d, fixed_ls):
+            ls = (jnp.asarray(fixed_ls, jnp.float32) if fixed_ls is not None
+                  else _data_lengthscales(buf.X, buf.mask))
             kernels = _stacked_kernels(
-                cfg.kernel, d, 3, _data_lengthscales(buf.X, buf.mask)
+                cfg.kernel, d, 3, ls, variance=cfg.signal_variance
             )
             Z = init_inducing_points(
                 key, buf.X, min(cfg.n_inducing, buf.capacity), mask=buf.mask
@@ -224,8 +235,12 @@ class StructuredRocketGP:
             )
 
         return self.replace(
-            trans_gp=fit_one(kt, self.trans_buffer, self.trans_extractor.n_features),
-            rot_gp=fit_one(kr, self.rot_buffer, self.rot_extractor.n_features),
+            trans_gp=fit_one(kt, self.trans_buffer,
+                             self.trans_extractor.n_features,
+                             cfg.trans_lengthscales),
+            rot_gp=fit_one(kr, self.rot_buffer,
+                           self.rot_extractor.n_features,
+                           cfg.rot_lengthscales),
             is_fitted=True,
         )
 
@@ -312,10 +327,11 @@ class StructuredRocketGP:
         return jax.tree.unflatten(treedef, leaves)
 
 
-def _stacked_kernels(name: str, d: int, n_out: int, lengthscales=None):
+def _stacked_kernels(name: str, d: int, n_out: int, lengthscales=None,
+                     variance: float = 1.0):
     """Stack n_out kernels; per-dimension ARD lengthscales default to 1 or to
     a data-driven scale (see ``_data_lengthscales``)."""
-    ks = [create_kernel(name, d) for _ in range(n_out)]
+    ks = [create_kernel(name, d, variance=variance) for _ in range(n_out)]
     stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *ks)
     if lengthscales is not None and hasattr(stacked, "log_lengthscales"):
         stacked = stacked.replace(

@@ -114,6 +114,15 @@ class LMPCConfig:
     # offers the best locally-known continuations, which is what
     # Q^{j+1} ≤ Q^j needs (lmpc.py:4-24).
     candidate_pool: int = struct.field(pytree_node=False, default=0)
+    # distance-penalized candidate score: q + candidate_dist_weight·d²
+    # (weighted state distance from knn_query). With weight 0 the pool pick
+    # is pure lowest-Q, which lets the hull teleport onto low-Q vertices far
+    # from the plan's reachable terminal neighborhood — measured on the
+    # 256-lane fleet as a 27%-optimistic round-1 V(x0) that then *rises* as
+    # the set densifies. The penalty prices the extra stage cost of steering
+    # to a farther vertex, keeping V estimates consistent across rounds
+    # while preserving the lowest-Q descent pressure among near-equals.
+    candidate_dist_weight: float = 0.0
     # condensed form: states eliminated via X = G·U + d, z = [U; λ; s]
     # (~4.5× fewer variables at N=15, ~17× less ADMM matvec traffic with the
     # row structure declared) — the same QP, solution-parity-tested against
@@ -251,9 +260,13 @@ def lmpc_solve(
         fallback_unfiltered=config.fuel_filter_fallback,
     )
     if pool > K:
-        # keep the K lowest-Q valid candidates of the local pool (invalid
+        # keep the K lowest-score valid candidates of the local pool (invalid
         # rows sort last and stay invalid after the gather)
-        score = jnp.where(res.valid, res.q_values, jnp.inf)
+        score = jnp.where(
+            res.valid,
+            res.q_values + config.candidate_dist_weight * res.distances**2,
+            jnp.inf,
+        )
         _, sel = jax.lax.top_k(-score, K)
         res = KNNResult(
             indices=res.indices[sel], distances=res.distances[sel],

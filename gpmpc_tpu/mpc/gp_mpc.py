@@ -36,6 +36,7 @@ from ..ops.qp.admm import _factor, _rho_vec
 from ..ops.qp.condensed import build_condensed_qp, recover_states
 from ..ops.qp.ruiz import Scaling, ruiz_equilibrate
 from .rti import RTIConfig, _condensed_admm_cfg, _n_extra_rows, _stage_rows
+from .constraints import normal_quantile
 from .uncertainty_prop import box_tightening, propagate_linear
 
 Array = jax.Array
@@ -55,6 +56,15 @@ class GPMPCConfig:
     tighten: bool = struct.field(pytree_node=False, default=True)
     confidence: float = 0.95
     sigma0_scale: float = 1e-6
+    # σ-multiplier selection (reference gp_params.yaml:84-93 beta_method):
+    # "quantile" uses the Gaussian quantile κ(confidence) — the reference's
+    # "theoretical" Gaussian-marginal bound; "fixed" uses beta_fixed
+    # directly; "calibrated" scales the quantile by beta_calibration (set it
+    # from a measured realized-violation campaign — see
+    # scripts/run_calibration_tpu.py).
+    beta_method: str = struct.field(pytree_node=False, default="quantile")
+    beta_fixed: float = 2.0
+    beta_calibration: float = 1.0
     # which state components get box back-offs. None = all except mass (0)
     # and altitude (1): backing off the altitude floor forbids the planned
     # touchdown itself and forces late braking (the reference tightens
@@ -186,7 +196,19 @@ def gp_mpc_solve(
         Sigma0 = config.sigma0_scale * jnp.eye(n_x, dtype=X_lin.dtype)
         prop = propagate_linear(Aks, X_lin, Sigma0, gp_vars, dt)
         if config.tighten:
-            backoff = box_tightening(prop.covariances, config.confidence)
+            if config.beta_method == "fixed":
+                kap = jnp.asarray(config.beta_fixed, X_lin.dtype)
+            elif config.beta_method == "calibrated":
+                kap = config.beta_calibration * normal_quantile(
+                    jnp.asarray(config.confidence, X_lin.dtype))
+            elif config.beta_method == "quantile":
+                kap = None
+            else:
+                raise ValueError(
+                    f"beta_method={config.beta_method!r}; expected "
+                    "'quantile', 'fixed', or 'calibrated'")
+            backoff = box_tightening(prop.covariances, config.confidence,
+                                     kappa=kap)
             # never let back-offs cross a narrow box (e.g. quaternion
             # component bounds) — a crossed box makes the whole QP infeasible
             # and every solve gets rejected; cap at 40% of the box width

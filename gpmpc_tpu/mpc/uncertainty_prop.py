@@ -179,9 +179,14 @@ def linear_tightening(a: Array, Sigmas: Array, confidence: float = 0.95) -> Arra
     return kappa * jnp.sqrt(jnp.maximum(quad, 0.0))
 
 
-def box_tightening(Sigmas: Array, confidence: float = 0.95) -> Array:
-    """Per-coordinate back-offs κ·σ_i for box bounds, shape (N+1, n_x)."""
-    kappa = normal_quantile(jnp.asarray(confidence, Sigmas.dtype))
+def box_tightening(
+    Sigmas: Array, confidence: float = 0.95, kappa: Optional[Array] = None
+) -> Array:
+    """Per-coordinate back-offs κ·σ_i for box bounds, shape (N+1, n_x).
+    ``kappa`` overrides the Gaussian quantile (fixed/calibrated β methods,
+    reference ``gp_params.yaml:84-93``)."""
+    if kappa is None:
+        kappa = normal_quantile(jnp.asarray(confidence, Sigmas.dtype))
     return kappa * jnp.sqrt(
         jnp.maximum(jnp.diagonal(Sigmas, axis1=-2, axis2=-1), 0.0)
     )

@@ -42,6 +42,13 @@ class SafetyFilterConfig:
     slack_weight: float = 1e4
     u_min: Array = struct.field(default_factory=lambda: jnp.array([0.3, -5.0, -5.0]))
     u_max: Array = struct.field(default_factory=lambda: jnp.array([5.0, 5.0, 5.0]))
+    # recovery policy (reference safety_params.yaml:91-98): after
+    # ``max_consecutive`` interventions in a row, "switch_to_backup" hands
+    # the lane to the backup controller for the rest of the episode (sticky,
+    # masked — no branching inside the campaign scan); "continue" keeps
+    # filtering forever.
+    max_consecutive: int = struct.field(pytree_node=False, default=10)
+    after_max: str = struct.field(pytree_node=False, default="continue")
 
 
 class SafetyFilterResult(NamedTuple):
@@ -227,27 +234,51 @@ def make_filtered_controller(
     campaign (the reference applies the filter per-step inside MC episodes,
     ``monte_carlo.py:455-543``).
 
-    The wrapped controller state is ``(inner_state, n_interventions)``;
-    pass :func:`filtered_controller_info` as ``run_campaign``'s
-    ``cstate_info`` to surface per-lane intervention counts in the results.
+    The wrapped controller state is ``(inner_state, n_interventions,
+    consecutive, switched)``; pass :func:`filtered_controller_info` as
+    ``run_campaign``'s ``cstate_info`` to surface per-lane intervention
+    counts (and backup switches) in the results.
+
+    Recovery policy (``config.after_max``, reference
+    ``safety_params.yaml:91-98``): with ``"switch_to_backup"``, a lane whose
+    filter intervened ``config.max_consecutive`` steps in a row flies the
+    backup controller for the rest of the episode (a lane the filter has to
+    override every step is one whose nominal controller is fighting the
+    recoverability certificate — stop consulting it). ``"continue"``
+    (default) filters forever.
     """
+    if config.after_max not in ("continue", "switch_to_backup"):
+        raise ValueError(
+            f"after_max={config.after_max!r}; expected 'continue' or "
+            "'switch_to_backup'"
+        )
+    switch = config.after_max == "switch_to_backup"
 
     def finit(x0):
-        return (controller_init(x0), jnp.asarray(0, jnp.int32))
+        return (controller_init(x0), jnp.asarray(0, jnp.int32),
+                jnp.asarray(0, jnp.int32), jnp.asarray(False))
 
     def fstep(state, x, k):
-        inner, n_int = state
+        inner, n_int, consec, switched = state
         u_nom, inner2 = controller_step(inner, x, k)
         res = filter_control(step_fn, backup, invariant, config, x, u_nom, admm)
-        return res.u, (inner2, n_int + res.intervened.astype(jnp.int32))
+        hit = res.intervened.astype(jnp.int32)
+        consec = jnp.where(res.intervened, consec + 1, 0)
+        if switch:
+            switched = switched | (consec >= config.max_consecutive)
+            u_bak = jnp.clip(backup.control(x), config.u_min, config.u_max)
+            u = jnp.where(switched, u_bak, res.u)
+        else:
+            u = res.u
+        return u, (inner2, n_int + hit, consec, switched)
 
     return finit, fstep
 
 
 def filtered_controller_info(state) -> dict:
     """``cstate_info`` extractor for campaigns over a filtered controller."""
-    _, n_int = state
-    return {"n_interventions": n_int}
+    _, n_int, _, switched = state
+    return {"n_interventions": n_int, "switched_to_backup": switched}
 
 
 @struct.dataclass

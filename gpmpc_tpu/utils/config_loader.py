@@ -57,8 +57,9 @@ def build_rocket_params(cfg: Dict[str, Any]):
     return Rocket6DoFParams(**common, **extra)
 
 
-def build_mpc_config(cfg: Dict[str, Any]):
-    """mpc_params.yaml → RTIConfig / GPMPCConfig."""
+def build_mpc_config(cfg: Dict[str, Any], gp_raw: Optional[Dict[str, Any]] = None):
+    """mpc_params.yaml → RTIConfig / GPMPCConfig. ``gp_raw`` (the parsed
+    gp_params.yaml) supplies the uncertainty β block for GP-MPC tightening."""
     from ..mpc import GPMPCConfig, RTIConfig
     from ..ops.qp import ADMMConfig
 
@@ -88,14 +89,20 @@ def build_mpc_config(cfg: Dict[str, Any]):
             scp_iterations=cfg.get("rti", {}).get("scp_iterations", 3),
             tighten=cfg.get("chance_constraints", {}).get("enabled", True),
             confidence=cfg.get("chance_constraints", {}).get("confidence", 0.95),
+            **build_uncertainty_kwargs(gp_raw or {}),
         )
     return base
 
 
 def build_gp_config(cfg: Dict[str, Any]):
-    """gp_params.yaml → StructuredGPConfig + OnlineUpdateConfig."""
+    """gp_params.yaml → StructuredGPConfig + OnlineUpdateConfig (+ see
+    :func:`build_training_config` and :func:`build_uncertainty_config` for
+    the training/uncertainty blocks)."""
     from ..gp import OnlineUpdateConfig, StructuredGPConfig
 
+    hyp = cfg.get("hyperparameters", {}) or {}
+    ls = hyp.get("lengthscales", {}) or {}
+    as_tuple = lambda v: tuple(float(x) for x in v) if v is not None else None
     gp = StructuredGPConfig(
         max_data_points=cfg.get("max_data_points", 512),
         n_inducing=cfg.get("n_inducing", 100),
@@ -103,6 +110,9 @@ def build_gp_config(cfg: Dict[str, Any]):
         method=cfg.get("approximation", "fitc"),
         noise=cfg.get("noise", 1e-4),
         novelty_threshold=cfg.get("novelty_threshold", 0.3),
+        trans_lengthscales=as_tuple(ls.get("translational")),
+        rot_lengthscales=as_tuple(ls.get("rotational")),
+        signal_variance=hyp.get("signal_variance", 1.0),
     )
     online = OnlineUpdateConfig(
         capacity=cfg.get("online", {}).get("capacity", 512),
@@ -113,8 +123,32 @@ def build_gp_config(cfg: Dict[str, Any]):
     return gp, online
 
 
+def build_training_config(cfg: Dict[str, Any]):
+    """gp_params.yaml ``training:`` block → HyperparameterConfig."""
+    from ..learning import HyperparameterConfig
+
+    tr = cfg.get("training", {}) or {}
+    return HyperparameterConfig(
+        steps=tr.get("steps", 150),
+        learning_rate=tr.get("learning_rate", 0.05),
+        retrain_every_episodes=tr.get("retrain_every_episodes", 5),
+        method=tr.get("method", "mle"),
+    )
+
+
+def build_uncertainty_kwargs(cfg: Dict[str, Any]) -> Dict[str, Any]:
+    """gp_params.yaml ``uncertainty:`` block → GPMPCConfig β kwargs."""
+    un = cfg.get("uncertainty", {}) or {}
+    return {
+        "beta_method": un.get("beta_method", "quantile"),
+        "beta_fixed": un.get("beta_fixed", 2.0),
+        "beta_calibration": un.get("beta_calibration", 1.0),
+    }
+
+
 def build_safety_config(cfg: Dict[str, Any]):
-    """safety_params.yaml → SafetyFilterConfig."""
+    """safety_params.yaml → SafetyFilterConfig (incl. the recovery-policy
+    block, reference ``safety_params.yaml:91-98``)."""
     from ..safety import SafetyFilterConfig
 
     kw = {}
@@ -122,13 +156,36 @@ def build_safety_config(cfg: Dict[str, Any]):
         kw["u_min"] = jnp.asarray(cfg["u_min"], jnp.float32)
     if "u_max" in cfg:
         kw["u_max"] = jnp.asarray(cfg["u_max"], jnp.float32)
+    rec = cfg.get("recovery", {}) or {}
     return SafetyFilterConfig(
         N=cfg.get("filter", {}).get("N", 10),
         dt=cfg.get("filter", {}).get("dt", 0.1),
         alpha_margin=cfg.get("filter", {}).get("alpha_margin", 0.9),
         soft=cfg.get("filter", {}).get("soft", True),
+        max_consecutive=rec.get("max_consecutive", 10),
+        after_max=rec.get("after_max", "continue"),
         **kw,
     )
+
+
+def build_tube_config(cfg: Dict[str, Any]):
+    """safety_params.yaml ``tube:`` block → TubeMPCConfig."""
+    from ..safety import TubeMPCConfig
+
+    tube = cfg.get("tube", {}) or {}
+    return TubeMPCConfig(
+        n_sigma=tube.get("n_sigma", 2.0),
+        dt=cfg.get("filter", {}).get("dt", 0.1),
+        quantile=tube.get("quantile", 0.95),
+    )
+
+
+def backup_kind(cfg: Dict[str, Any]) -> str:
+    """safety_params.yaml ``backup.type`` → create_backup_controller kind."""
+    kind = (cfg.get("backup", {}) or {}).get("type", "lqr")
+    if kind not in ("lqr", "pd", "braking"):
+        raise ValueError(f"unknown backup type {kind!r}")
+    return kind
 
 
 def load_experiment_config(
@@ -152,8 +209,11 @@ def load_experiment_config(
     if overrides:
         raw = apply_overrides(raw, overrides)
     out["rocket_params"] = build_rocket_params(raw["rocket"])
-    out["mpc_config"] = build_mpc_config(raw["mpc"])
+    out["mpc_config"] = build_mpc_config(raw["mpc"], gp_raw=raw["gp"])
     out["gp_config"], out["online_config"] = build_gp_config(raw["gp"])
+    out["training_config"] = build_training_config(raw["gp"])
     out["safety_config"] = build_safety_config(raw["safety"])
+    out["tube_config"] = build_tube_config(raw["safety"])
+    out["backup_kind"] = backup_kind(raw["safety"])
     out["raw"] = raw
     return out

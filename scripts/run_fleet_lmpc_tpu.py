@@ -100,6 +100,11 @@ def main() -> int:
                     help="Q-aware terminal candidates: take this many "
                          "nearest safe-set states and keep the K lowest-Q "
                          "(LMPCConfig.candidate_pool; 0 = plain nearest-K)")
+    ap.add_argument("--pool-dist-weight", type=float, default=0.0,
+                    help="distance penalty on the Q-aware candidate score "
+                         "(LMPCConfig.candidate_dist_weight): q + w*d^2 "
+                         "keeps pool picks anchored to the reachable "
+                         "terminal neighborhood")
     ap.add_argument("--same-traj", action="store_true",
                     help="restrict hull vertices to the nearest neighbor's "
                          "trajectory (LMPCConfig.hull_same_trajectory)")
@@ -154,6 +159,7 @@ def main() -> int:
         solver=args.solver,
         touchdown_speed_weight=args.touchdown_weight,
         candidate_pool=args.pool,
+        candidate_dist_weight=args.pool_dist_weight,
         hull_same_trajectory=args.same_traj,
     )
     xT = jnp.zeros(7).at[0].set(2.0)

@@ -378,6 +378,69 @@ class TestUtils:
         assert cfg["mpc_config"].N == 15
         cfg2 = load_experiment_config("config", overrides={"mpc.N": 30})
         assert cfg2["mpc_config"].N == 30
+        # widened schema blocks map onto real config objects
+        assert cfg["training_config"].method == "mle"
+        assert cfg["tube_config"].n_sigma == 2.0
+        assert cfg["backup_kind"] == "lqr"
+        assert cfg["safety_config"].after_max == "continue"
+        assert cfg["gp_config"].signal_variance == 1.0
+
+    def test_config_loader_widened_knobs(self, tmp_path):
+        """Every widened YAML knob reaches its dataclass field and a fixed
+        ARD lengthscale init actually lands in the fitted kernel."""
+        import yaml
+        from gpmpc_tpu.utils import load_experiment_config
+
+        (tmp_path / "gp_params.yaml").write_text(yaml.safe_dump({
+            "kernel": "matern52", "n_inducing": 8, "max_data_points": 32,
+            "hyperparameters": {
+                "lengthscales": {"translational": [2.0] * 13,
+                                 "rotational": [3.0] * 12},
+                "signal_variance": 0.5,
+            },
+            "training": {"method": "map", "learning_rate": 0.01, "steps": 7},
+            "uncertainty": {"beta_method": "fixed", "beta_fixed": 1.7},
+        }))
+        (tmp_path / "mpc_params.yaml").write_text(yaml.safe_dump({
+            "use_gp": True, "N": 10,
+        }))
+        (tmp_path / "safety_params.yaml").write_text(yaml.safe_dump({
+            "backup": {"type": "braking"},
+            "recovery": {"max_consecutive": 3,
+                         "after_max": "switch_to_backup"},
+            "tube": {"n_sigma": 3.0, "quantile": 0.9},
+        }))
+        cfg = load_experiment_config(str(tmp_path))
+        assert cfg["gp_config"].kernel == "matern52"
+        assert cfg["gp_config"].trans_lengthscales == (2.0,) * 13
+        assert cfg["gp_config"].rot_lengthscales == (3.0,) * 12
+        assert cfg["gp_config"].signal_variance == 0.5
+        assert cfg["training_config"].method == "map"
+        assert cfg["training_config"].learning_rate == 0.01
+        assert cfg["training_config"].steps == 7
+        assert cfg["mpc_config"].beta_method == "fixed"
+        assert cfg["mpc_config"].beta_fixed == 1.7
+        assert cfg["backup_kind"] == "braking"
+        assert cfg["safety_config"].max_consecutive == 3
+        assert cfg["safety_config"].after_max == "switch_to_backup"
+        assert cfg["tube_config"].n_sigma == 3.0
+
+        # the lengthscales reach the fitted kernels
+        from gpmpc_tpu.gp import StructuredRocketGP
+
+        gp = StructuredRocketGP.create(cfg["gp_config"])
+        X = jax.random.normal(jax.random.PRNGKey(0), (24, 14)).at[:, 7].set(1.0)
+        U = jax.random.normal(jax.random.PRNGKey(1), (24, 3))
+        res = 0.01 * jax.random.normal(jax.random.PRNGKey(2), (24, 6))
+        for i in range(24):
+            gp = gp.add_data(X[i], U[i], res[i])
+        gp = gp.fit(jax.random.PRNGKey(3))
+        np.testing.assert_allclose(
+            np.exp(np.asarray(gp.trans_gp.kernels.log_lengthscales[0])),
+            2.0, rtol=1e-5)
+        np.testing.assert_allclose(
+            np.exp(np.asarray(gp.trans_gp.kernels.log_variance[0])),
+            0.5, rtol=1e-5)
 
     def test_profiler_sections(self):
         from gpmpc_tpu.utils import Profiler

@@ -265,6 +265,29 @@ class TestFilteredCampaign:
         speeds = np.asarray(res_fil["landing_speed"])[touched]
         assert speeds.size > 0 and float(speeds.max()) < 2.5
 
+        # recovery policy (reference safety_params.yaml:91-98): the bad
+        # controller triggers interventions every step, so with
+        # switch_to_backup and a small threshold every lane hands over to
+        # the backup — and still lands softly
+        fcfg_sw = fcfg.replace(max_consecutive=3, after_max="switch_to_backup")
+        finit_sw, fstep_sw = make_filtered_controller(
+            bad_init, bad_step, step, backup, inv, fcfg_sw
+        )
+        res_sw = jax.jit(
+            lambda xs: run_campaign(
+                finit_sw, fstep_sw, step, xs, sim,
+                cstate_info=filtered_controller_info,
+            )
+        )(x0s)
+        assert bool(np.asarray(res_sw["switched_to_backup"]).all())
+        assert int(jnp.sum(res_sw["outcome"] == CRASH)) < crashes_unf
+        # unknown policy name fails loudly
+        import pytest as _pytest
+        with _pytest.raises(ValueError):
+            make_filtered_controller(
+                bad_init, bad_step, step, backup, inv,
+                fcfg.replace(after_max="nope"))
+
     def test_funnel_filter_rescues_gusted_descent(self):
         """The campaign-scale rescue regime (VERDICT r2 item 7): an RTI
         controller flying into an unmodeled low-altitude downdraft crashes
