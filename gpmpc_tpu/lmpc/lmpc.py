@@ -123,6 +123,15 @@ class LMPCConfig:
     # to a farther vertex, keeping V estimates consistent across rounds
     # while preserving the lowest-Q descent pressure among near-equals.
     candidate_dist_weight: float = 0.0
+    # terminal-vertex memory: carry the previous solve's K hull vertices as
+    # candidates for the next solve (a vertex only drops out when a better-
+    # scoring one appears or it turns fuel-infeasible). LMPC's value
+    # monotonicity argument (lmpc.py:4-24) needs D^j ⊇ D^{j-1} — the plain
+    # KNN restriction breaks that premise (a densifying safe set CONTRACTS
+    # the local neighborhood, silently evicting good vertices and letting
+    # V(x0) rise), and this restores it: the previous plan's terminal hull
+    # stays available, so V is non-increasing up to solver noise.
+    vertex_memory: bool = struct.field(pytree_node=False, default=False)
     # condensed form: states eliminated via X = G·U + d, z = [U; λ; s]
     # (~4.5× fewer variables at N=15, ~17× less ADMM matvec traffic with the
     # row structure declared) — the same QP, solution-parity-tested against
@@ -214,9 +223,16 @@ class LMPCState:
     U_lin: Array
     x_ref: Array
     rho: Array
+    # previous solve's terminal-vertex indices (−1 = unset); only consulted
+    # when config.vertex_memory is on
+    prev_vertices: Array = struct.field(
+        default_factory=lambda: jnp.full((10,), -1, jnp.int32))
 
 
-def lmpc_init(config: LMPCConfig, x0: Array, x_target: Array) -> LMPCState:
+def lmpc_init(
+    config: LMPCConfig, x0: Array, x_target: Array,
+    prev_vertices: Optional[Array] = None,
+) -> LMPCState:
     N = config.N
     alphas = jnp.linspace(0.0, 1.0, N + 1)[:, None]
     return LMPCState(
@@ -224,6 +240,9 @@ def lmpc_init(config: LMPCConfig, x0: Array, x_target: Array) -> LMPCState:
         U_lin=jnp.tile(jnp.zeros(config.n_u).at[0].set(x0[0]), (N, 1)),
         x_ref=jnp.tile(x_target, (N + 1, 1)),
         rho=jnp.asarray(config.admm.rho),
+        prev_vertices=(
+            jnp.full((config.n_terminal_vertices,), -1, jnp.int32)
+            if prev_vertices is None else prev_vertices.astype(jnp.int32)),
     )
 
 
@@ -272,6 +291,42 @@ def lmpc_solve(
             indices=res.indices[sel], distances=res.distances[sel],
             states=res.states[sel], q_values=res.q_values[sel],
             valid=res.valid[sel],
+        )
+    if config.vertex_memory:
+        # merge the previous solve's vertices into the candidate set and
+        # keep the K best by the same score — restores D^j ⊇ D^{j-1} (see
+        # LMPCConfig.vertex_memory)
+        from ..terminal.local_safe_set import default_state_weights
+        from ..ops.linalg import weighted_sq_dists
+
+        prev = state.prev_vertices
+        pidx = jnp.maximum(prev, 0)
+        feas = safe_set.feasible_mask(fuel_avail)
+        if config.fuel_filter_fallback:
+            feas = jnp.where(jnp.any(feas), feas, safe_set.mask)
+        dup = jnp.any(pidx[:, None] == res.indices[None, :], axis=1)
+        pvalid = (prev >= 0) & feas[pidx] & ~dup
+        wts = default_state_weights(n_x)
+        pd2 = weighted_sq_dists(
+            X_sim[-1][None], safe_set.states[pidx], wts)[0]
+        cand = KNNResult(
+            indices=jnp.concatenate([res.indices, pidx]),
+            distances=jnp.concatenate(
+                [res.distances, jnp.sqrt(jnp.maximum(pd2, 0.0))]),
+            states=jnp.concatenate([res.states, safe_set.states[pidx]]),
+            q_values=jnp.concatenate([res.q_values, safe_set.q_values[pidx]]),
+            valid=jnp.concatenate([res.valid, pvalid]),
+        )
+        score = jnp.where(
+            cand.valid,
+            cand.q_values + config.candidate_dist_weight * cand.distances**2,
+            jnp.inf,
+        )
+        _, sel = jax.lax.top_k(-score, K)
+        res = KNNResult(
+            indices=cand.indices[sel], distances=cand.distances[sel],
+            states=cand.states[sel], q_values=cand.q_values[sel],
+            valid=cand.valid[sel],
         )
     if config.hull_same_trajectory:
         tids = safe_set.traj_ids[res.indices]
@@ -422,6 +477,9 @@ def lmpc_solve(
         X_lin=X_shift, U_lin=U_shift,
         # the IPM has no penalty to warm-start; keep the carried ρ intact
         rho=state.rho if config.solver == "ipm" else sol.rho,
+        prev_vertices=(
+            jnp.where(res.valid, res.indices, -1).astype(jnp.int32)
+            if config.vertex_memory else state.prev_vertices),
     )
     return (
         LMPCSolution(
@@ -446,7 +504,8 @@ def lmpc_plan_value(
     x0: Array,
     x_target: Array,
     settle: int = 4,
-) -> Tuple[Array, Array]:
+    prev_vertices: Optional[Array] = None,
+) -> Tuple[Array, Array, Array]:
     """The controller's value estimate V(x0) = planned stage cost + terminal
     Qᵀλ at a fixed state, after ``settle`` re-solves to converge the RTI
     warm start. THIS is the quantity LMPC's value iteration drives down as
@@ -456,14 +515,18 @@ def lmpc_plan_value(
     adds ~2 stage costs of altitude error and reads as a 5-10% "regression"
     (measured: realized probe cost tracked episode length exactly, 96.5k@54
     steps vs 106.8k@60, while V(x0) fell monotonically 107.5k → 94.1k over
-    the same six rounds). Returns (value, last_solve_ok)."""
-    st = lmpc_init(config, x0, x_target)
+    the same six rounds). Returns (value, last_solve_ok, terminal_vertices);
+    with ``config.vertex_memory``, feed ``terminal_vertices`` back as
+    ``prev_vertices`` on the NEXT evaluation (e.g. the next fleet round) so
+    the cross-round candidate set is non-contracting — the premise the
+    monotonicity argument needs (see LMPCConfig.vertex_memory)."""
+    st = lmpc_init(config, x0, x_target, prev_vertices=prev_vertices)
 
     def body(st, _):
         sol, st = lmpc_solve(step_fn, config, safe_set, st, x0)
         return st, sol
 
-    _, sols = jax.lax.scan(body, st, None, length=settle)
+    st, sols = jax.lax.scan(body, st, None, length=settle)
     sol = jax.tree.map(lambda a: a[-1], sols)
     # sum the SAME stage cost that populates the safe set's Q-values
     # (default_stage_cost includes the touchdown-gate shaping on 7-state
@@ -474,7 +537,7 @@ def lmpc_plan_value(
             sol.X_opt[:-1], sol.U_opt
         )
     )
-    return plan + sol.terminal_q, sol.success
+    return plan + sol.terminal_q, sol.success, st.prev_vertices
 
 
 def default_stage_cost(x: Array, u: Array, x_target: Array, config: LMPCConfig) -> Array:

@@ -108,6 +108,12 @@ def main() -> int:
     ap.add_argument("--same-traj", action="store_true",
                     help="restrict hull vertices to the nearest neighbor's "
                          "trajectory (LMPCConfig.hull_same_trajectory)")
+    ap.add_argument("--vertex-memory", action="store_true",
+                    help="carry each solve's terminal vertices as candidates "
+                         "for the next (LMPCConfig.vertex_memory) and thread "
+                         "the probe's vertices across rounds, restoring the "
+                         "non-contracting terminal-set premise V-monotonicity "
+                         "needs")
     ap.add_argument("--prune", choices=["quality", "fifo", "diversity"],
                     default=None,
                     help="between-round pruning strategy: when the safe set "
@@ -161,6 +167,7 @@ def main() -> int:
         candidate_pool=args.pool,
         candidate_dist_weight=args.pool_dist_weight,
         hull_same_trajectory=args.same_traj,
+        vertex_memory=args.vertex_memory,
     )
     xT = jnp.zeros(7).at[0].set(2.0)
     step = lambda x, u: r3.step(p, x, u, cfg.dt)
@@ -190,7 +197,10 @@ def main() -> int:
     )
     from gpmpc_tpu.lmpc import lmpc_plan_value
 
-    plan_value = jax.jit(lambda ss: lmpc_plan_value(step, cfg, ss, x0_seed, xT))
+    plan_value = jax.jit(
+        lambda ss, pverts: lmpc_plan_value(
+            step, cfg, ss, x0_seed, xT, prev_vertices=pverts))
+    probe_verts = jnp.full((cfg.n_terminal_vertices,), -1, jnp.int32)
 
     @jax.jit
     def add_many(ss, X, U, costs, success):
@@ -239,8 +249,12 @@ def main() -> int:
     t_start = time.time()
     for r in range(first_round, args.rounds):
         t0 = time.time()
-        V_probe, _ = plan_value(ss)  # value estimate BEFORE this round flies
+        # value estimate BEFORE this round flies; the probe's terminal
+        # vertices thread across rounds under --vertex-memory
+        V_probe, _, new_verts = plan_value(ss, probe_verts)
         V_probe = float(jax.device_get(V_probe))
+        if args.vertex_memory:
+            probe_verts = new_verts
         outs = []
         for c in range(args.batch // chunk):
             out = fly(ss, x0s[c * chunk : (c + 1) * chunk])

@@ -172,13 +172,13 @@ class TestLMPCSolve:
         values = []
         pv = jax.jit(lambda s: lmpc_plan_value(step, cfg, s, x0, xT, settle=8))
         for _ in range(3):
-            V, ok = pv(ss)
+            V, ok, _ = pv(ss)
             assert bool(ok)
             values.append(float(V))
             _, ss = run_fleet_iterations(
                 step, cfg, ss, x0s, xT, n_rounds=1, max_steps=180
             )
-        V_final, _ = pv(ss)
+        V_final, _, _ = pv(ss)
         values.append(float(V_final))
         # 2% band: the RTI settle leaves O(1%) linearization noise on V
         assert all(b <= a * 1.02 for a, b in zip(values, values[1:])), values

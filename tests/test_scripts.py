@@ -58,6 +58,26 @@ class TestScriptSmokes:
             "--steps", "120")
         assert "FLEET LMPC: PASS" in out
 
+    def test_chance_constraint_calibration(self):
+        """The tightening machinery's empirical check (VERDICT r3 item 6):
+        lanes ride a descent-speed bound under a known-σ gust; the script's
+        own gate requires realized violation ≤ 1−confidence (Wilson upper
+        bound) per level, monotone in confidence, and one-step coverage at
+        the two-sided Gaussian target."""
+        out = run_script(
+            "run_calibration_tpu.py", "--cpu", "--batch", "24",
+            "--steps", "60", "--confidences", "0.9", "0.95")
+        assert "CALIBRATION: PASS" in out
+
+    def test_fleet_lmpc_vertex_memory(self):
+        """--pool/--vertex-memory: the non-contracting terminal-candidate
+        path that makes fleet V(x0) monotone (VERDICT r3 item 2)."""
+        out = run_script(
+            "run_fleet_lmpc_tpu.py", "--cpu", "--batch", "4", "--rounds", "2",
+            "--steps", "120", "--pool", "40", "--pool-dist-weight", "2000",
+            "--vertex-memory")
+        assert "FLEET LMPC: PASS" in out
+
     def test_fleet_lmpc_checkpoint_resume(self, tmp_path):
         """Interrupted-campaign recovery — the path that gets exercised for
         real when the TPU relay dies mid-campaign: run 1 round with a
