@@ -30,6 +30,7 @@ from .batched_learner import BatchedLearningConfig, run_batched_learning
 from .online_gp_mpc import (
     OnlineGPMPCConfig,
     OnlineGPMPCState,
+    carry_gp_between_episodes,
     make_online_gp_mpc_controller,
     online_controller_info,
 )
@@ -63,6 +64,7 @@ __all__ = [
     "OnlineGPMPCState",
     "OnlineLearner",
     "OnlineLearningConfig",
+    "carry_gp_between_episodes",
     "make_online_gp_mpc_controller",
     "online_controller_info",
     "StreamingDataCollector",

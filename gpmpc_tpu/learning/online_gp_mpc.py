@@ -291,13 +291,23 @@ def make_online_gp_mpc_controller(
     def cstep(st: OnlineGPMPCState, x: Array, k: Array):
         gp = st.gp
 
+        # a REAL flown transition: the campaign scan keeps stepping landed
+        # lanes on their frozen touchdown state, and x == x_prev there —
+        # "observing" that non-transition writes a huge fake residual
+        # (frozen x vs the dynamics' prediction) into the buffer. Measured
+        # (episode-carry campaign, run_online_safety_tpu): the junk
+        # concentrates near the ground, so a GP carried into the NEXT
+        # episode flies its endgame on poisoned data — success 0.96 → 0.58
+        # over 3 episodes while in-flight error metrics kept improving.
+        real = st.have_prev & jnp.any(x != st.x_prev)
+
         # -- measure: one-step error of the controller's CURRENT model on the
         # transition just flown (before it enters the buffer) -----------------
         mean_fn, var_fn = _mean_var(gp)
         pred = step_fn(st.x_prev, st.u_prev) + dt * mean_fn(st.x_prev, st.u_prev)
         err = jnp.linalg.norm(x[4:7] - pred[4:7])
         err_hist = st.err_hist.at[k].set(
-            jnp.where(st.have_prev, err, jnp.nan), mode="drop"
+            jnp.where(real, err, jnp.nan), mode="drop"
         )
 
         # -- observe: residual of the flown transition into the ring buffer --
@@ -307,7 +317,7 @@ def make_online_gp_mpc_controller(
         else:
             r = err_full[4:7]
         gp, accepted = _observe(
-            gp, st.x_prev, st.u_prev, r, st.have_prev, cfg.min_distance)
+            gp, st.x_prev, st.u_prev, r, real, cfg.min_distance)
 
         # -- cadenced refresh/refit (scalar predicates → real lax.cond) ------
         did_refresh = jnp.asarray(False)
@@ -342,6 +352,25 @@ def make_online_gp_mpc_controller(
         return sol.u0, new
 
     return cinit, cstep
+
+
+def carry_gp_between_episodes(
+    cinit: Callable[[Array], OnlineGPMPCState],
+    st_final: OnlineGPMPCState,
+    x0_next: Array,
+) -> OnlineGPMPCState:
+    """Fresh-episode controller state at ``x0_next`` with the learned GP
+    carried over — the episode lifecycle of the reference's
+    ``IterativeLearningRunner`` (``online_learner.py:564-611``): warm starts,
+    reference, and error trace reset per episode; the model persists. The
+    carried GP keeps its episode-1 inducing points and data (the recency
+    refresh re-centers Z as new data arrives)."""
+    fresh = cinit(x0_next)
+    return fresh.replace(
+        gp=st_final.gp,
+        n_accepted=st_final.n_accepted,
+        n_refits=st_final.n_refits,
+    )
 
 
 def online_controller_info(st: OnlineGPMPCState) -> dict:

@@ -228,6 +228,7 @@ def make_filtered_controller(
     invariant: EllipsoidalInvariantSet,
     config: SafetyFilterConfig,
     admm: Optional[ADMMConfig] = None,
+    half_step: int = 10**9,
 ):
     """Compose any ``(controller_init, controller_step)`` pair with the
     predictive safety filter so it can run *inside* a vmapped Monte-Carlo
@@ -256,29 +257,38 @@ def make_filtered_controller(
 
     def finit(x0):
         return (controller_init(x0), jnp.asarray(0, jnp.int32),
-                jnp.asarray(0, jnp.int32), jnp.asarray(False))
+                jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32),
+                jnp.asarray(False))
 
     def fstep(state, x, k):
-        inner, n_int, consec, switched = state
+        inner, n_int, n_early, consec, switched = state
         u_nom, inner2 = controller_step(inner, x, k)
         res = filter_control(step_fn, backup, invariant, config, x, u_nom, admm)
-        hit = res.intervened.astype(jnp.int32)
-        consec = jnp.where(res.intervened, consec + 1, 0)
+        # don't count post-touchdown frozen lanes (the campaign scan keeps
+        # stepping a landed lane's controller on its frozen ground state)
+        in_flight = x[1] > 0.15
+        hit = (res.intervened & in_flight).astype(jnp.int32)
+        early = hit * (k < half_step).astype(jnp.int32)
+        consec = jnp.where(res.intervened & in_flight, consec + 1, 0)
         if switch:
             switched = switched | (consec >= config.max_consecutive)
             u_bak = jnp.clip(backup.control(x), config.u_min, config.u_max)
             u = jnp.where(switched, u_bak, res.u)
         else:
             u = res.u
-        return u, (inner2, n_int + hit, consec, switched)
+        return u, (inner2, n_int + hit, n_early + early, consec, switched)
 
     return finit, fstep
 
 
 def filtered_controller_info(state) -> dict:
-    """``cstate_info`` extractor for campaigns over a filtered controller."""
-    _, n_int, _, switched = state
-    return {"n_interventions": n_int, "switched_to_backup": switched}
+    """``cstate_info`` extractor for campaigns over a filtered controller.
+    ``n_interventions_early`` counts hits at k < the factory's ``half_step``
+    — the early/late split is the within-episode learning trace (an online
+    learner should intervene less in the second half)."""
+    _, n_int, n_early, _, switched = state
+    return {"n_interventions": n_int, "n_interventions_early": n_early,
+            "switched_to_backup": switched}
 
 
 @struct.dataclass

@@ -108,6 +108,10 @@ def main() -> int:
     ap.add_argument("--same-traj", action="store_true",
                     help="restrict hull vertices to the nearest neighbor's "
                          "trajectory (LMPCConfig.hull_same_trajectory)")
+    ap.add_argument("--settle", type=int, default=8,
+                    help="re-solves before reading the probe V(x0) metric "
+                         "(lmpc_plan_value settle; more = less RTI "
+                         "linearization noise on V)")
     ap.add_argument("--vertex-memory", action="store_true",
                     help="carry each solve's terminal vertices as candidates "
                          "for the next (LMPCConfig.vertex_memory) and thread "
@@ -199,7 +203,8 @@ def main() -> int:
 
     plan_value = jax.jit(
         lambda ss, pverts: lmpc_plan_value(
-            step, cfg, ss, x0_seed, xT, prev_vertices=pverts))
+            step, cfg, ss, x0_seed, xT, settle=args.settle,
+            prev_vertices=pverts))
     probe_verts = jnp.full((cfg.n_terminal_vertices,), -1, jnp.int32)
 
     @jax.jit
