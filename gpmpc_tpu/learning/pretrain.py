@@ -72,7 +72,9 @@ def _on_policy_episodes(
             u = clamp_fn(
                 u + excitation * jax.random.normal(jax.random.fold_in(ekey, k), (3,))
             )
-            xn = plant_step(x, u)
+            # freeze at touchdown: an episode long enough to cover the flare
+            # must not stream sub-ground dynamics into the residual set
+            xn = jnp.where(x[1] <= 0.1, x, plant_step(x, u))
             return (xn, cstate), (x, u, xn)
 
         (_, _), (X, U, Xn) = jax.lax.scan(body, (x0, cstate), jnp.arange(episode_len))
@@ -110,6 +112,12 @@ def collect_residuals_3dof(
         key, ci, cs, true_step_fn, lambda u: r3.clamp_thrust(p_nom, u),
         x0s, episode_len, excitation,
     )
+    # drop frozen post-touchdown rows (x == xn is not a flown transition);
+    # host-side concrete filtering — pretraining runs outside jit
+    import numpy as np
+
+    moved = np.asarray(jnp.any(X != Xn, axis=1))
+    X, U, Xn = X[moved], U[moved], Xn[moved]
     res = ResidualCollector(dt=dt).collect_batch(F_nom, X, U, Xn)
     return X, U, res
 

@@ -84,6 +84,18 @@ VARIANTS = {
                       unroll=10),
     "1x50_s2_u25": mk(50, 50, 1e-2, True, scp=1, certs=False, scaling=2,
                       unroll=25),
+    # the RT campaign config with bf16 operand streams — the roofline
+    # question at batch 4096 where the ADMM bulk should be HBM-bound
+    "1x50_s2_u25_bf16": mk(50, 50, 2e-2, True, "bf16", scp=1, certs=False,
+                           scaling=2, unroll=25),
+    # and with the dense (structure-less) matvec at the same schedule
+    "1x50_s2_u25_dense": mk(50, 50, 1e-2, True, scp=1, certs=False,
+                            scaling=2, unroll=25, rows=(("dense", N * 10),)),
+    # bf16 + fewer Ruiz sweeps / shorter schedule (4096 HBM-regime probes)
+    "1x50_s1_u25_bf16": mk(50, 50, 2e-2, True, "bf16", scp=1, certs=False,
+                           scaling=1, unroll=25),
+    "1x40_s2_u20_bf16": mk(40, 40, 2e-2, True, "bf16", scp=1, certs=False,
+                           scaling=2, unroll=20),
     "1x50_s2_lanes": mk(50, 50, 1e-2, True, scp=1, certs=False, scaling=2,
                         pallas="lanes"),
     "1x100_s2_u10": mk(100, 50, 1e-2, True, scp=1, certs=False, scaling=2,
