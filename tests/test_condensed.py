@@ -169,6 +169,7 @@ class TestCondensedParity:
 
 
 class TestCondensed6DoFFacets:
+    @pytest.mark.slow
     def test_row_structure_6dof_cones(self):
         """The auto-declared row structure for the 6-DoF condensed QP with
         gimbal-cone (blockdiag Gu) AND glideslope (BLT Gx) facet rows must

@@ -267,6 +267,8 @@ class TestSCVX:
         )(x0)
         assert bool(sol.converged)
 
+    @pytest.mark.slow
+
     def test_free_time_matches_sigma_oracle(self, p3):
         """SURVEY hard part 7 / VERDICT r1 item 9: the duration sweep must
         find the same (t_f, fuel) optimum as the reference's sigma

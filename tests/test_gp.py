@@ -243,6 +243,8 @@ class TestStructuredGP:
         R = np.concatenate([0.1 * X[:, 4:7], 0.05 * X[:, 11:14]], axis=1).astype(np.float32)
         return jnp.asarray(X), jnp.asarray(U), jnp.asarray(R)
 
+    @pytest.mark.slow
+
     def test_fit_predict_roundtrip(self, rng):
         X, U, R = self._make_data(rng)
         gp = StructuredRocketGP.create(StructuredGPConfig(max_data_points=64, n_inducing=32))
@@ -274,6 +276,8 @@ class TestStructuredGP:
         mean, var = gp.predict_batch(jnp.asarray(X[:8]), jnp.asarray(U[:8]))
         assert mean.shape == (8, 3)
         assert np.abs(np.asarray(mean) - R[:8]).mean() < 0.1
+
+    @pytest.mark.slow
 
     def test_save_load(self, rng, tmp_path):
         X, U, R = self._make_data(rng, n=32)

@@ -225,6 +225,8 @@ class TestBatchedFleetLearning:
         # the fleet still lands while learning
         assert int(out["landed"][-1].sum()) >= B - 2
 
+    @pytest.mark.slow
+
     def test_fleet_learning_6dof_structured_gp(self, devices8):
         """>=16 6-DoF lanes learn concurrently with per-lane 6-output
         structured GPs (reference online_learner.py:529-677 +

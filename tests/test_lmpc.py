@@ -150,6 +150,8 @@ class TestLMPCSolve:
             >= summaries[0]["qp_success_rate"] - 0.05
         ), summaries
 
+    @pytest.mark.slow
+
     def test_plan_value_monotone_as_set_grows(self, seeded):
         """Fleet-scale improvement, measured on the RIGHT quantity: the
         controller's value estimate V(x0) = planned stage cost + terminal Q

@@ -157,6 +157,8 @@ class TestRTI:
         assert float(jnp.linalg.norm(xf[2:4])) < 1.0  # position error
         assert float(jnp.mean(out["solver_success"].astype(jnp.float32))) > 0.9
 
+    @pytest.mark.slow
+
     def test_closed_loop_batch_with_reference(self):
         """Batch landing while tracking per-scenario cubic descent references
         (the reference demo's setup) — soft touchdown everywhere."""
@@ -222,6 +224,8 @@ class TestRTI:
 
 class TestRTI6DoF:
     """6-DoF quaternion MPC bring-up (SURVEY.md §7 M7)."""
+
+    @pytest.mark.slow
 
     def test_closed_loop_landing_with_attitude(self):
         from gpmpc_tpu.dynamics import Rocket6DoFParams, rocket6dof as r6
@@ -338,6 +342,8 @@ class TestStageRows:
         # ...facet rows keep every planned stage inside (inner approx + tol)
         assert results["gs"] > -1e-2, results
 
+    @pytest.mark.slow
+
     def test_cone_facet_rows_respect_gimbal_in_plan(self):
         from gpmpc_tpu.dynamics import Rocket6DoFParams, rocket6dof as r6
         from gpmpc_tpu.mpc import rti_config_6dof
@@ -442,6 +448,7 @@ class TestRTIPhases:
 
 
 class TestWarmKKT:
+    @pytest.mark.slow
     def test_warm_kkt_matches_cholesky_path_closed_loop(self):
         """The warm-started KKT inverse (frozen scaling + Newton-Schulz
         refresh) must reproduce the Cholesky path's landings."""
@@ -475,6 +482,8 @@ class TestWarmKKT:
         # touchdown states agree closely between the two factorization paths
         np.testing.assert_allclose(
             results[True]["x_final"], results[False]["x_final"], atol=0.05)
+
+    @pytest.mark.slow
 
     def test_condensed_warm_kkt_matches_cholesky_path_closed_loop(self):
         """warm_kkt composed with the condensed QP (the bench configuration's

@@ -158,6 +158,9 @@ def test_recent_z_gather_matches_fifo():
     np.testing.assert_allclose(Z2[1:, 0], -1.0)
 
 
+@pytest.mark.slow
+
+
 def test_online_learning_6dof_structured():
     """The 14-state composition: per-lane 6-output structured GP learning
     INSIDE the loop (both feature blocks observed in lockstep, recency-Z

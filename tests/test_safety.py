@@ -288,6 +288,8 @@ class TestFilteredCampaign:
                 bad_init, bad_step, step, backup, inv,
                 fcfg.replace(after_max="nope"))
 
+    @pytest.mark.slow
+
     def test_funnel_filter_rescues_gusted_descent(self):
         """The campaign-scale rescue regime (VERDICT r2 item 7): an RTI
         controller flying into an unmodeled low-altitude downdraft crashes
