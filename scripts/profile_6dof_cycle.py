@@ -8,7 +8,7 @@ cone/glideslope facet rows). Answers the VERDICT r3 item-4 question: is the
 3-DoF/6-DoF throughput gap the quaternion rollout/linearization or the
 wider QP?
 
-Usage: python scripts/profile_6dof_cycle.py [BATCH] [STEPS]
+Usage: python scripts/profile_6dof_cycle.py [--cpu] [BATCH] [STEPS]
 """
 
 import sys
@@ -18,6 +18,12 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 import jax
+
+if "--cpu" in sys.argv:
+    # the env var alone is too late: the axon sitecustomize pins the TPU
+    # backend at interpreter start (see tests/conftest.py)
+    sys.argv.remove("--cpu")
+    jax.config.update("jax_platforms", "cpu")
 import jax.numpy as jnp
 
 from gpmpc_tpu.dynamics import Rocket6DoFParams, rocket6dof as r6
@@ -229,7 +235,9 @@ from gpmpc_tpu.ops.qp import solve as qp_solve
 
 def admm_only(carry):
     st, xs = carry
-    sol = jax.vmap(lambda d, r: qp_solve(d, base.admm, rho0=r))(data0, st.rho)
+    sol = jax.vmap(
+        lambda d, r: qp_solve(d, config=base.admm, rho0=r)
+    )(data0, st.rho)
     xs = xs + 1e-20 * jnp.sum(sol.x, axis=1)[:, None]
     return (st, xs)
 

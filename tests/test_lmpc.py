@@ -70,6 +70,36 @@ class TestLMPCSolve:
         # thrust bounds hold
         assert float(sol.U_opt[:, 0].min()) >= cfg.u_min[0] - 1e-3
 
+    def test_vertex_memory_carries_and_retains(self, seeded):
+        """vertex_memory semantics: (a) the solve records its terminal
+        vertices in the state; (b) on the next solve a HELD low-Q vertex
+        stays in the candidate set even when it is no longer among the K
+        nearest (the non-contracting-terminal-set property that V(x0)
+        monotonicity needs — see LMPCConfig.vertex_memory)."""
+        p, step, xT, cfg, ss, (X, U, C) = seeded
+        cfg = cfg.replace(vertex_memory=True, candidate_pool=20,
+                          candidate_dist_weight=0.0)
+        x0 = X[0]
+        st = lmpc_init(cfg, x0, xT)
+        st = st.replace(X_lin=X[: cfg.N + 1], U_lin=U[: cfg.N])
+        sol, st2 = lmpc_solve(step, cfg, ss, st, x0)
+        assert bool(sol.success)
+        held = np.asarray(st2.prev_vertices)
+        assert (held >= 0).any()  # vertices recorded
+
+        # bury the neighborhood in fresh HIGH-Q near-duplicate states so the
+        # plain nearest-pool is dominated by them; the held low-Q vertices
+        # must survive through the memory path
+        xq = ss.states[int(held[held >= 0][0])]
+        Xd = jnp.tile(xq[None], (40, 1)) + 1e-3 * jax.random.normal(
+            jax.random.PRNGKey(0), (40, 7))
+        ss_noisy = ss.add_trajectory(
+            Xd, jnp.zeros((40, 3)), jnp.full(40, 1e5))
+        sol2, st3 = lmpc_solve(step, cfg, ss_noisy, st2, x0)
+        kept = np.asarray(st3.prev_vertices)
+        # the low-Q held vertices beat the high-Q flood on the q-score
+        assert bool(np.intersect1d(held[held >= 0], kept[kept >= 0]).size > 0)
+
     def test_condensed_matches_sparse(self, seeded):
         """The condensed z=[U;λ;s] form solves the same QP as the sparse
         z=[X;U;λ;s] form — u0/λ/terminal-Q parity on a warm solve (both
