@@ -527,17 +527,30 @@ def lmpc_plan_value(
         return st, sol
 
     st, sols = jax.lax.scan(body, st, None, length=settle)
-    sol = jax.tree.map(lambda a: a[-1], sols)
     # sum the SAME stage cost that populates the safe set's Q-values
     # (default_stage_cost includes the touchdown-gate shaping on 7-state
     # layouts) — a bare Q/R quadratic here would mix two cost definitions
     # in V(x0) = plan + terminal Q whenever the plan dips near the gate
-    plan = jnp.sum(
-        jax.vmap(lambda x, u: default_stage_cost(x, u, x_target, config))(
-            sol.X_opt[:-1], sol.U_opt
-        )
-    )
-    return plan + sol.terminal_q, sol.success, st.prev_vertices
+    plans = jax.vmap(
+        lambda X, U: jnp.sum(jax.vmap(
+            lambda x, u: default_stage_cost(x, u, x_target, config)
+        )(X[:-1], U))
+    )(sols.X_opt, sols.U_opt)
+    values = plans + sols.terminal_q
+    # every ACCEPTED settle iterate is a feasible plan, so each value is a
+    # valid upper bound on V(x0); report the best found over the settled
+    # half. The last iterate alone wiggles ±0.3-0.7% across rounds (the RTI
+    # warm-start path oscillates, and deeper settles don't contract it —
+    # measured at settle 8 and 16), which is larger than the true per-round
+    # improvement once the fleet converges.
+    half = settle // 2
+    idx = jnp.arange(settle)
+    cand = jnp.where((idx >= half) & sols.success, values, jnp.inf)
+    best = jnp.min(cand)
+    last = values[-1]
+    value = jnp.where(jnp.isfinite(best), best, last)
+    ok = jnp.any(sols.success[half:]) | sols.success[-1]
+    return value, ok, st.prev_vertices
 
 
 def default_stage_cost(x: Array, u: Array, x_target: Array, config: LMPCConfig) -> Array:

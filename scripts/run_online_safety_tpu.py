@@ -144,8 +144,7 @@ def main() -> int:
             "speed": jnp.where(landed, speed, jnp.nan),
             "interventions": fs[1],
             "model_err": jnp.nanmean(inner.err_hist),
-            "gp_points": info["gp_points"]
-            if "gp_points" in info else inner.gp.buffer_count,
+            "gp_points": info["gp_points"],
         }
 
     @jax.jit

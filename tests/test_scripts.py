@@ -69,6 +69,22 @@ class TestScriptSmokes:
             "--steps", "60", "--confidences", "0.9", "0.95")
         assert "CALIBRATION: PASS" in out
 
+    def test_online_safety_composed(self):
+        """Online GP-MPC + funnel filter + gusts across episodes with the
+        GP carried (VERDICT r3 item 5). The script's own PASS gate
+        (interventions fall episode 1 → last AND >95% success) is
+        statistical and needs ≥128 lanes (see
+        campaign_online_safety_cpu_128.json); at smoke scale assert the
+        composition runs end-to-end and reports the learning trace."""
+        proc = subprocess.run(
+            [sys.executable, str(ROOT / "scripts" / "run_online_safety_tpu.py"),
+             "--cpu", "--batch", "24", "--episodes", "2", "--steps", "100"],
+            capture_output=True, text=True, timeout=1200, env=ENV, cwd=ROOT,
+        )
+        assert proc.returncode in (0, 1), proc.stderr[-2000:]
+        assert '"interventions_by_episode"' in proc.stdout
+        assert '"model_err_by_episode"' in proc.stdout
+
     def test_fleet_lmpc_vertex_memory(self):
         """--pool/--vertex-memory: the non-contracting terminal-candidate
         path that makes fleet V(x0) monotone (VERDICT r3 item 2)."""
