@@ -138,6 +138,15 @@ class ADMMConfig:
     # to the XLA path only (the Pallas kernel keeps its matrices in VMEM
     # where bandwidth is not the bottleneck).
     matvec_dtype: str = struct.field(pytree_node=False, default="f32")
+    # with matvec_dtype="bf16": run this many EXTRA iterations with the f32
+    # operands after the chunked bf16 bulk. ADMM on a convex QP has one fixed
+    # point per operator; switching back to the f32 operator warm-started
+    # from the bf16 iterate converges to the f32 fixed point, so a short
+    # tail removes the bf16 quantization bias (the reason plain bf16 was
+    # rejected at batch 4096 — docs/architecture.md round-4 sweep) while the
+    # bulk still streams half the bytes. Lanes already converged (under the
+    # always-f32 residual test) stay frozen. 0 = no tail.
+    tail_f32_iters: int = struct.field(pytree_node=False, default=0)
 
 
 def _compact_structure(A: Array, segs: tuple) -> tuple:
@@ -454,10 +463,22 @@ def solve(
 
     rho_init = jnp.asarray(cfg.rho if rho0 is None else rho0, dtype)
     rho_v = _rho_vec(l, u, rho_init)
+    # Operator-consistent bf16: the iteration applies the bf16-ROUNDED Ā, so
+    # the KKT system must be factored from the same Ā. Factoring from the f32
+    # A while iterating with Ā makes the splitting map expansive (measured:
+    # the random-QP suite diverges to ~1e6 by 200 iterations) — that
+    # inconsistency, not the ~4e-3 fixed-point shift, is what collapsed the
+    # batch-4096 bf16 campaign. With a consistent pair the bulk is EXACT ADMM
+    # on the perturbed QP(Ā) and converges to a nearby fixed point; the f32
+    # tail (tail_f32_iters) then removes the remaining bias.
+    A_fact = (
+        A.astype(jnp.bfloat16).astype(dtype)
+        if cfg.matvec_dtype == "bf16" else A
+    )
     if kkt_inv0 is not None:
-        L = _ns_refresh(P, A, rho_v, cfg.sigma, kkt_inv0, iters=cfg.ns_iters)
+        L = _ns_refresh(P, A_fact, rho_v, cfg.sigma, kkt_inv0, iters=cfg.ns_iters)
     else:
-        L = _factor(P, A, rho_v, cfg.sigma)
+        L = _factor(P, A_fact, rho_v, cfg.sigma)
 
     q_unsc_norm = jnp.max(jnp.abs(Dinv * q)) / c
 
@@ -485,7 +506,7 @@ def solve(
     )
     A_apply, AT_apply = _make_A_ops(ops_stream, n)
 
-    def make_one_iter(L_mv):
+    def make_one_iter(L_mv, A_apply=A_apply, AT_apply=AT_apply):
         if L_mv.dtype == jnp.bfloat16:
             def L_apply(v):
                 return jax.lax.dot_general(
@@ -637,7 +658,7 @@ def solve(
             rho = jnp.where(upd, rho_new, rho)
             rho_v_new = _rho_vec(l, u, rho)
             rho_v = jnp.where(upd, rho_v_new, rho_v)
-            L = jnp.where(upd, _factor(P, A, rho_v_new, cfg.sigma), L)
+            L = jnp.where(upd, _factor(P, A_fact, rho_v_new, cfg.sigma), L)
 
         return (x, z, y, rho_v, L, rho, it, done, status, r_prim, r_dual), None
 
@@ -677,6 +698,43 @@ def solve(
     # residuals of the returned iterate were computed by the last live chunk
     # (frozen lanes keep the residuals they converged at)
     (x, z, y, rho_v, L, rho, it, done, status, r_prim, r_dual) = state
+
+    if (
+        cfg.matvec_dtype == "bf16"
+        and cfg.tail_f32_iters > 0
+        and lanes_chunk is None
+        and not pallas_iters
+    ):
+        # f32 tail: re-converge toward the f32 fixed point from the bf16
+        # iterate (see ADMMConfig.tail_f32_iters). The tail gets its own
+        # operator-consistent factorization from the TRUE f32 A (one cheap
+        # (n×n) factor; the bulk's L solves the perturbed QP(Ā)). Frozen
+        # lanes (converged under the f32 residual test, or certified
+        # infeasible) stay frozen.
+        L_tail = _factor(P, A, rho_v, cfg.sigma)
+        one_iter_f32 = make_one_iter(L_tail, *_make_A_ops(ops_f32, n))
+
+        def tail_body(c, _):
+            xx, zz, yy = one_iter_f32((c[0], c[1], c[2], rho_v))
+            return (xx, zz, yy), None
+
+        (x_t, z_t, y_t), _ = jax.lax.scan(
+            tail_body, (x, z, y), None, length=cfg.tail_f32_iters,
+            unroll=cfg.iter_unroll,
+        )
+        keep = ~done
+        x = jnp.where(keep, x_t, x)
+        z = jnp.where(keep, z_t, z)
+        y = jnp.where(keep, y_t, y)
+        it = it + jnp.where(keep, cfg.tail_f32_iters, 0)
+        rp, rd, pn, dn = residuals(x, z, y)
+        r_prim = jnp.where(keep, rp, r_prim)
+        r_dual = jnp.where(keep, rd, r_dual)
+        tail_ok = (rp <= cfg.eps_abs + cfg.eps_rel * pn) & (
+            rd <= cfg.eps_abs + cfg.eps_rel * dn
+        )
+        status = jnp.where(keep & tail_ok, SOLVED, status)
+        done = done | tail_ok
 
     # unscale
     x_u = D * x

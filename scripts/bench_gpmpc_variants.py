@@ -38,7 +38,7 @@ _, mean_fn, var_fn = explore_gp_3dof(
 
 
 def mk(mi, ci, apt, tape, mv="f32", scp=2, certs=True, pallas="off",
-       scaling=3, eps=1e-4, rows=None, unroll=1):
+       scaling=3, eps=1e-4, rows=None, unroll=1, tail=0):
     return GPMPCConfig(
         base=RTIConfig(
             N=N, accept_pri_tol=apt, condensed=True,
@@ -46,7 +46,8 @@ def mk(mi, ci, apt, tape, mv="f32", scp=2, certs=True, pallas="off",
                             adaptive_rho=False, scaling=scaling,
                             use_pallas=pallas, matvec_dtype=mv,
                             infeas_certs=certs, eps_abs=eps, eps_rel=eps,
-                            row_structure=rows, iter_unroll=unroll),
+                            row_structure=rows, iter_unroll=unroll,
+                            tail_f32_iters=tail),
         ),
         scp_iterations=scp, tighten=True, rollout_gp_tape=tape,
     )
@@ -96,6 +97,15 @@ VARIANTS = {
                            scaling=1, unroll=25),
     "1x40_s2_u20_bf16": mk(40, 40, 2e-2, True, "bf16", scp=1, certs=False,
                            scaling=2, unroll=20),
+    # bf16 bulk + f32 tail: same 50-iteration total, but the last 10/15 run
+    # with the f32 operands so the iterate re-converges to the f32 fixed
+    # point (removes the quantization bias that killed plain bf16 at 4096)
+    "1x40t10_s2_u20_bf16": mk(40, 40, 1e-2, True, "bf16", scp=1, certs=False,
+                              scaling=2, unroll=20, tail=10),
+    "1x35t15_s2_u35_bf16": mk(35, 35, 1e-2, True, "bf16", scp=1, certs=False,
+                              scaling=2, unroll=35, tail=15),
+    "1x50t10_s2_u25_bf16": mk(50, 50, 1e-2, True, "bf16", scp=1, certs=False,
+                              scaling=2, unroll=25, tail=10),
     "1x50_s2_lanes": mk(50, 50, 1e-2, True, scp=1, certs=False, scaling=2,
                         pallas="lanes"),
     "1x100_s2_u10": mk(100, 50, 1e-2, True, scp=1, certs=False, scaling=2,

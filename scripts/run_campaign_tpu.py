@@ -154,6 +154,20 @@ def build_3dof(args, jax, jnp):
                                        scaling=2, infeas_certs=False,
                                        iter_unroll=25),
             )
+            if args.bf16_tail > 0:
+                # bf16 bulk + f32 tail inside the same 50-iteration budget:
+                # the tail re-converges to the f32 fixed point, so the
+                # acceptance gate stays at the f32 1e-2 floor
+                mi = 50 - args.bf16_tail
+                base = base.replace(
+                    accept_pri_tol=1e-2,
+                    admm=base.admm.replace(
+                        max_iter=mi, check_interval=mi,
+                        iter_unroll=max(1, mi // 2),
+                        matvec_dtype="bf16",
+                        tail_f32_iters=args.bf16_tail,
+                    ),
+                )
             cfg = GPMPCConfig(base=base, scp_iterations=1, tighten=True,
                               rollout_gp_tape=True)
         else:
@@ -316,6 +330,14 @@ def main() -> int:
                          "(+8%% cycles/s vs f32); a wash at 512 where the "
                          "cycle is op-latency-bound — see "
                          "bench_gpmpc_variants.py and docs/architecture.md")
+    ap.add_argument("--bf16-tail", type=int, default=0,
+                    help="with the RT schedule: run (50 - T) bf16 bulk "
+                         "iterations + T f32 tail iterations (same total "
+                         "budget). The f32 tail re-converges the iterate to "
+                         "the f32 fixed point, removing the bf16 bias that "
+                         "collapsed success at 4096 (see "
+                         "campaign_gpmpc3dof_4096_rt_bf16.json) while the "
+                         "bulk still streams half the bytes.")
     ap.add_argument("--out", type=str, default=None, help="write JSON here")
     args = ap.parse_args()
 

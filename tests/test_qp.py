@@ -137,6 +137,40 @@ class TestADMM:
             assert int(a.status) == int(b.status)
             assert int(a.iterations) == int(b.iterations)
 
+    def test_bf16_operator_consistent_factor_stays_bounded(self, rng):
+        """matvec_dtype='bf16' must factor the KKT from the bf16-ROUNDED
+        operator Ā. With the factor from the f32 A the splitting map is
+        expansive on ill-conditioned QPs (measured: iterates diverged to
+        ~1e6 by 200 iterations before the fix); with a consistent pair the
+        bulk is exact ADMM on QP(Ā) and stays near the f32 solution."""
+        data = random_qp(rng)
+        f32 = solve(data, config=ADMMConfig(
+            max_iter=400, check_interval=50, adaptive_rho=False,
+            infeas_certs=False))
+        bf16 = solve(data, config=ADMMConfig(
+            max_iter=400, check_interval=50, adaptive_rho=False,
+            infeas_certs=False, matvec_dtype="bf16"))
+        # bounded near the f32 solution (fixed-point shift is the bf16
+        # quantization of the operator, amplified by the equality-row ρ)
+        assert float(jnp.max(jnp.abs(bf16.x - f32.x))) < 1.0
+        assert float(bf16.pri_res) < 1.0
+
+    def test_bf16_f32_tail_recovers_f32_fixed_point(self, rng):
+        """tail_f32_iters: after the bf16 bulk, f32-operand iterations (with
+        their own f32-consistent factorization) re-converge the iterate to
+        the f32 fixed point — the quantization bias is removed, not merely
+        bounded."""
+        data = random_qp(rng)
+        f32 = solve(data, config=ADMMConfig(
+            max_iter=400, check_interval=50, adaptive_rho=False,
+            infeas_certs=False))
+        tail = solve(data, config=ADMMConfig(
+            max_iter=80, check_interval=40, adaptive_rho=False,
+            infeas_certs=False, matvec_dtype="bf16", tail_f32_iters=320))
+        np.testing.assert_allclose(
+            np.asarray(tail.x), np.asarray(f32.x), atol=5e-3)
+        assert float(tail.pri_res) < 1e-3
+
     @pytest.mark.parametrize("seed", [0, 1, 2])
     def test_random_qp_matches_scipy_oracle(self, seed):
         rng = np.random.default_rng(seed)
