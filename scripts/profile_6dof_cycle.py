@@ -3,10 +3,14 @@
 
 Same methodology as profile_gpmpc_cycle.py (scan-of-STEPS windows under one
 jit dispatch, fetch-anchored timing), at the 14-state real-time campaign
-configuration (1 SCP iteration, rollout tape, 100-iteration ADMM budget,
-cone/glideslope facet rows). Answers the VERDICT r3 item-4 question: is the
-3-DoF/6-DoF throughput gap the quaternion rollout/linearization or the
-wider QP?
+configuration (1 SCP iteration, rollout tape, 100-iteration ADMM budget at
+check_interval=50/iter_unroll=25 — the EXACT run_campaign_tpu --rt solver
+config, so stage times compose to the campaign cycle). Answers the VERDICT
+r3 item-4 question: is the 3-DoF/6-DoF throughput gap the quaternion
+rollout/linearization or the wider QP?  Also prints XLA's compiled
+bytes-accessed / peak-temp numbers for the composed cycle so a
+parts-vs-whole gap can be attributed (fusion/remat/spill) instead of
+guessed at.
 
 Usage: python scripts/profile_6dof_cycle.py [--cpu] [BATCH] [STEPS]
 """
@@ -36,6 +40,7 @@ from gpmpc_tpu.mpc import (
     rti_config_6dof,
 )
 from gpmpc_tpu.mpc.gp_mpc import _augmented_rollout
+from gpmpc_tpu.mpc.rti import _condensed_admm_cfg
 from gpmpc_tpu.mpc.uncertainty_prop import box_tightening, propagate_linear
 from gpmpc_tpu.ops.qp import ADMMConfig
 from gpmpc_tpu.ops.qp.admm import _factor, _rho_vec
@@ -62,13 +67,18 @@ xT = r6.create_initial_state(p, altitude=0.0)
 _, mean_fn, var_fn = pretrain_gp_6dof(jax.random.PRNGKey(42), p, plant,
                                       n_episodes=4)
 
+# EXACT run_campaign_tpu.py --model 6dof --controller gp_mpc --rt solver
+# config (build_6dof): full 100-iteration budget, check_interval=50,
+# scaling=2, no certificates, unroll 25
 base = rti_config_6dof(
     p, N=N,
     admm=ADMMConfig(max_iter=100, polish=False, adaptive_rho=False,
-                    scaling=3, use_pallas="off"),
+                    scaling=2, use_pallas="off", check_interval=50,
+                    infeas_certs=False, iter_unroll=25),
 ).replace(accept_pri_tol=1e-2, condensed=True)
 cfg = GPMPCConfig(base=base, scp_iterations=1, tighten=True,
                   rollout_gp_tape=True)
+admm_cycle = _condensed_admm_cfg(base)  # row-structured: what the cycle runs
 
 key = jax.random.PRNGKey(3)
 x0s = jax.vmap(
@@ -84,7 +94,7 @@ states = states.replace(
     x_ref=jax.vmap(lambda x: ref0(x)[: N + 1])(x0s))
 
 
-def timed(name, fn, *args):
+def timed(name, fn, *args, analyze=False):
     out = fn(*args)
     anchor = jax.tree.leaves(out)[0]
     _ = jax.device_get(jnp.ravel(anchor)[0])
@@ -94,7 +104,24 @@ def timed(name, fn, *args):
         anchor = jax.tree.leaves(out)[0]
         _ = jax.device_get(jnp.ravel(anchor)[0])
     dt_ms = (time.time() - t0) / (WINDOWS * STEPS) * 1e3
-    print(f"{name:40s} {dt_ms:8.2f} ms/cycle", flush=True)
+    print(f"{name:44s} {dt_ms:8.2f} ms/cycle", flush=True)
+    if analyze:
+        try:
+            c = fn.lower(*args).compile()
+            ca = c.cost_analysis()
+            ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+            gb = ca.get("bytes accessed", 0) / 1e9 / STEPS
+            fl = ca.get("flops", 0) / 1e12 / STEPS
+            print(f"  bytes accessed {gb:8.2f} GB/cycle   "
+                  f"flops {fl:6.3f} TF/cycle", flush=True)
+            ma = c.memory_analysis()
+            if ma is not None:
+                print(f"  peak temp {ma.temp_size_in_bytes/1e9:6.2f} GB   "
+                      f"args {ma.argument_size_in_bytes/1e9:6.2f} GB   "
+                      f"output {ma.output_size_in_bytes/1e9:6.2f} GB",
+                      flush=True)
+        except Exception as e:  # analysis is best-effort (backend-dependent)
+            print(f"  (cost analysis unavailable: {e})", flush=True)
     return dt_ms
 
 
@@ -119,7 +146,8 @@ def full_cycle(carry):
     return (st, xs)
 
 
-timed("FULL 6-DoF GP-MPC cycle (+plant)", repeat(full_cycle), (states, x0s))
+timed("FULL 6-DoF GP-MPC cycle (+plant)", repeat(full_cycle), (states, x0s),
+      analyze=True)
 
 
 def rollout_only(carry):
@@ -190,6 +218,7 @@ def build_only(carry):
         data, Gs, ds = build_condensed_qp(
             Aks, Bks, cks, x, base.Q, base.R, base.Qf, s.x_ref,
             base.x_min, base.x_max, base.u_min, base.u_max,
+            base.Gx, base.gx_l, base.gx_u, base.Gu, base.gu_l, base.gu_u,
         )
         return data
 
@@ -206,16 +235,22 @@ def prep(s, x):
     data, _, _ = build_condensed_qp(
         Aks, Bks, cks, x, base.Q, base.R, base.Qf, s.x_ref,
         base.x_min, base.x_max, base.u_min, base.u_max,
+        base.Gx, base.gx_l, base.gx_u, base.Gu, base.gu_l, base.gu_u,
     )
     return data
 
 
 data0 = jax.jit(jax.vmap(prep))(states, x0s)
 jax.block_until_ready(data0.P)
+print(f"condensed QP: n={data0.P.shape[-1]} m={data0.A.shape[-2]} "
+      f"A batch bytes={data0.A.nbytes/1e6:.0f} MB", flush=True)
 
 
+# NOTE: data0 is threaded through the carry (a jit ARGUMENT), never a
+# closure constant — at batch 4096 the 300+MB QP batch baked into the
+# program was rejected by the remote-compile tunnel (HTTP 413).
 def factor_only(carry):
-    st, xs = carry
+    st, xs, d0 = carry
 
     def one(d, r):
         sd, scal = ruiz_equilibrate(d, base.admm.scaling)
@@ -223,25 +258,39 @@ def factor_only(carry):
         K = _factor(sd.P, sd.A, rho_v, base.admm.sigma)
         return jnp.sum(K)
 
-    tot = jax.vmap(one)(data0, st.rho)
+    tot = jax.vmap(one)(d0, st.rho)
     xs = xs + 1e-20 * tot[:, None]
-    return (st, xs)
+    return (st, xs, d0)
 
 
-timed("Ruiz + rho + KKT factor", repeat(factor_only), (states, x0s))
+timed("Ruiz + rho + KKT factor", repeat(factor_only), (states, x0s, data0))
 
 from gpmpc_tpu.ops.qp import solve as qp_solve
 
 
-def admm_only(carry):
-    st, xs = carry
+def admm_dense(carry):
+    st, xs, d0 = carry
     sol = jax.vmap(
-        lambda d, r: qp_solve(d, config=base.admm, rho0=r)
-    )(data0, st.rho)
+        lambda d, r, y: qp_solve(d, None, y, base.admm, rho0=r)
+    )(d0, st.rho, st.y_prev)
     xs = xs + 1e-20 * jnp.sum(sol.x, axis=1)[:, None]
-    return (st, xs)
+    return (st, xs, d0)
 
 
-timed("full QP solve (Ruiz+factor+ADMM)", repeat(admm_only), (states, x0s))
+timed("QP solve, dense-A stream", repeat(admm_dense), (states, x0s, data0),
+      analyze=True)
+
+
+def admm_structured(carry):
+    st, xs, d0 = carry
+    sol = jax.vmap(
+        lambda d, r, y: qp_solve(d, None, y, admm_cycle, rho0=r)
+    )(d0, st.rho, st.y_prev)
+    xs = xs + 1e-20 * jnp.sum(sol.x, axis=1)[:, None]
+    return (st, xs, d0)
+
+
+timed("QP solve, row-structured (in-cycle cfg)", repeat(admm_structured),
+      (states, x0s, data0), analyze=True)
 
 print(f"batch={BATCH} N={N} devices={jax.devices()}", flush=True)

@@ -168,6 +168,7 @@ def build_3dof(args, jax, jnp):
                         tail_f32_iters=args.bf16_tail,
                     ),
                 )
+            base = _apply_admm_overrides(base, args)
             cfg = GPMPCConfig(base=base, scp_iterations=1, tighten=True,
                               rollout_gp_tape=True)
         else:
@@ -181,6 +182,31 @@ def build_3dof(args, jax, jnp):
         F, base, xT, reference_fn=ref_fn, ref_horizon=args.steps
     )
     return cinit, cstep, F, 7, {"F": F, "dt": base.dt, "T_max": p.T_max}
+
+
+def _apply_admm_overrides(base, args):
+    """--ci / --rows experiment knobs on the final RTI config (both models).
+
+    --rows dense forces a single dense-A stream in place of the condensed
+    row-structure segments (``_condensed_admm_cfg``): the segmented matvec
+    streams ~40% fewer bytes but issues ~6x more (serialized) ops per
+    iteration — which side wins is batch- and model-dependent, so make it
+    measurable per campaign.
+    """
+    admm = base.admm
+    if args.ci > 0:
+        admm = admm.replace(check_interval=args.ci,
+                            iter_unroll=max(1, args.ci // 2))
+    if args.pallas != "keep":
+        admm = admm.replace(use_pallas=args.pallas)
+    if args.rows == "dense":
+        m = base.N * (base.n_x + base.n_u)
+        if base.Gx is not None:
+            m += base.N * base.Gx.shape[0]
+        if base.Gu is not None:
+            m += base.N * base.Gu.shape[0]
+        admm = admm.replace(row_structure=(("dense", m),))
+    return base.replace(admm=admm)
 
 
 def build_6dof(args, jax, jnp):
@@ -262,6 +288,19 @@ def build_6dof(args, jax, jnp):
                 admm=base.admm.replace(check_interval=50, scaling=2,
                                        infeas_certs=False, iter_unroll=25),
             )
+            if args.bf16_tail > 0:
+                # bf16 bulk + f32 tail inside the same 100-iteration budget
+                # (see the 3-DoF note; the 14-state QP keeps its full budget)
+                mi = 100 - args.bf16_tail
+                base = base.replace(
+                    accept_pri_tol=1e-2,
+                    admm=base.admm.replace(
+                        max_iter=mi, check_interval=min(50, mi),
+                        iter_unroll=25, matvec_dtype="bf16",
+                        tail_f32_iters=args.bf16_tail,
+                    ),
+                )
+            base = _apply_admm_overrides(base, args)
             cfg = GPMPCConfig(base=base, scp_iterations=1, tighten=True,
                               rollout_gp_tape=True)
         else:
@@ -338,6 +377,22 @@ def main() -> int:
                          "collapsed success at 4096 (see "
                          "campaign_gpmpc3dof_4096_rt_bf16.json) while the "
                          "bulk still streams half the bytes.")
+    ap.add_argument("--ci", type=int, default=0,
+                    help="override the RT ADMM check_interval (finer chunks "
+                         "= earlier all-lanes early exit at the cost of more "
+                         "residual checks; 0 = keep the config default). "
+                         "iter_unroll follows as ci//2.")
+    ap.add_argument("--pallas", choices=["keep", "off", "lanes"],
+                    default="keep",
+                    help="override ADMMConfig.use_pallas: 'lanes' runs each "
+                         "check-interval chunk as the multi-lane Pallas "
+                         "kernel (matrices VMEM-resident per chunk — the "
+                         "HBM-stream collapse lever for wide QPs)")
+    ap.add_argument("--rows", choices=["auto", "dense"], default="auto",
+                    help="'dense': stream the full constraint matrix per "
+                         "ADMM matvec instead of the condensed row-structure "
+                         "segments (fewer, larger ops — see "
+                         "_apply_admm_overrides)")
     ap.add_argument("--out", type=str, default=None, help="write JSON here")
     args = ap.parse_args()
 
