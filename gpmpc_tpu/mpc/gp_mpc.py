@@ -35,7 +35,13 @@ from ..ops.qp import (
 from ..ops.qp.admm import _factor, _rho_vec
 from ..ops.qp.condensed import build_condensed_qp, recover_states
 from ..ops.qp.ruiz import Scaling, ruiz_equilibrate
-from .rti import RTIConfig, _condensed_admm_cfg, _n_extra_rows, _stage_rows
+from .rti import (
+    RTIConfig,
+    _condensed_admm_cfg,
+    _n_bound_states,
+    _n_extra_rows,
+    _stage_rows,
+)
 from .constraints import normal_quantile
 from .uncertainty_prop import box_tightening, propagate_linear
 
@@ -243,6 +249,7 @@ def gp_mpc_solve(
                 Aks, Bks, cks, x0, cfg.Q, cfg.R, cfg.Qf, state.x_ref,
                 Xlo, Xhi, Ulo, Uhi,
                 cfg.Gx, cfg.gx_l, cfg.gx_u, cfg.Gu, cfg.gu_l, cfg.gu_u,
+                x_bound_mask=cfg.x_bound_mask,
             )
             if cfg.solver == "ipm":
                 # Mehrotra IPM on the condensed trust-region QP (box rows
@@ -415,7 +422,7 @@ def gp_mpc_init(
         E = jnp.zeros(0, dtype)
         c = jnp.asarray(1.0, dtype)
     if cfg.condensed:
-        m = N * (cfg.n_x + cfg.n_u) + _n_extra_rows(cfg)
+        m = N * (_n_bound_states(cfg) + cfg.n_u) + _n_extra_rows(cfg)
     else:
         n_vars = (N + 1) * cfg.n_x + N * cfg.n_u
         m = (N + 1) * cfg.n_x + n_vars + _n_extra_rows(cfg)

@@ -51,6 +51,13 @@ def _n_extra_rows(config) -> int:
     return config.N * (n_gx + n_gu)
 
 
+def _n_bound_states(config) -> int:
+    """State components with condensed bound rows (see x_bound_mask)."""
+    if config.x_bound_mask is None:
+        return config.n_x
+    return sum(bool(b) for b in config.x_bound_mask)
+
+
 def _stage_rows(config):
     """(A_ext, l_ext, u_ext) for the configured facet rows."""
     return build_stage_rows(
@@ -82,17 +89,24 @@ def _condensed_admm_cfg(config):
     User-set row_structure wins."""
     if config.admm.row_structure is not None:
         return config.admm
-    N, n_x, n_u = config.N, config.n_x, config.n_u
+    N, n_u = config.N, config.n_u
+    n_b = _n_bound_states(config)
     # horizon chunking for the BLT segments: C=5 keeps 60% of the dense
     # stream with few extra matvec ops; fall back to coarser C when the
     # horizon doesn't divide (C=1 degenerates to a dense segment)
     C = next((c for c in (5, 4, 3, 2) if N % c == 0), 1)
     s = N // C
-    segs = [("blt", C, s * n_x, s * n_u), ("diag", N * n_u)]
+    segs = []
+    if n_b:
+        segs.append(("blt", C, s * n_b, s * n_u))
+    segs.append(("diag", N * n_u))
     if config.Gx is not None:
         segs.append(("blt", C, s * config.Gx.shape[0], s * n_u))
     if config.Gu is not None:
-        segs.append(("blockdiag", N, config.Gu.shape[0], n_u))
+        # the facet block Gu is stage-constant by construction
+        # (build_condensed_qp tiles one Gu over all stages) → stream the
+        # shared block once per iteration, not N copies
+        segs.append(("blockdiag_shared", N, config.Gu.shape[0], n_u))
     return config.admm.replace(row_structure=tuple(segs))
 
 
@@ -108,6 +122,7 @@ def _solve_qp(config, state, Aks, Bks, cks, x_current, z0_XU, y0):
             config.x_min, config.x_max, config.u_min, config.u_max,
             config.Gx, config.gx_l, config.gx_u,
             config.Gu, config.gu_l, config.gu_u,
+            x_bound_mask=config.x_bound_mask,
         )
         if config.solver == "ipm":
             # Mehrotra IPM on the condensed box(+facet) QP: no equality rows
@@ -245,6 +260,20 @@ class RTIConfig:
     Gu: Optional[Array] = None
     gu_l: Optional[Array] = None
     gu_u: Optional[Array] = None
+    # condensed form only: which state components get bound rows (static
+    # tuple of n_x bools; None = all). The state-bound rows are the Γ stream
+    # — the ADMM iteration's dominant HBM operand — and components whose box
+    # is a decorative envelope (±50..500 m translation boxes that cannot bind
+    # in a descent; the reference's NLPs carry no translation boxes at all,
+    # only glideslope) should not pay rows: eliding the 7 translation rows of
+    # the 6-DoF RT config cuts the profiled ~40 GB/cycle constraint stream
+    # roughly in half at batch 4096. Elided components keep dynamics and cost;
+    # they lose only their box rows (and any chance back-off on that box) and
+    # the state trust region in GP-SCP — acceptable exactly when the box
+    # could never bind. The sparse (z=[X;U]) form ignores this.
+    x_bound_mask: Optional[tuple] = struct.field(
+        pytree_node=False, default=None
+    )
 
 
 @struct.dataclass
@@ -300,7 +329,7 @@ def rti_init(
         U_lin = U_init
     if config.condensed:
         # rows = N state-bound blocks + N control-bound blocks + facets
-        m = N * (config.n_x + config.n_u) + _n_extra_rows(config)
+        m = N * (_n_bound_states(config) + config.n_u) + _n_extra_rows(config)
     else:
         # total rows = eq rows (N+1)·n_x + n_vars bound rows + facet rows
         n_vars = (N + 1) * config.n_x + N * config.n_u
@@ -331,6 +360,7 @@ def rti_init(
                 config.x_min, config.x_max, config.u_min, config.u_max,
                 config.Gx, config.gx_l, config.gx_u,
                 config.Gu, config.gu_l, config.gu_u,
+                x_bound_mask=config.x_bound_mask,
             )
         else:
             data = _build_rti_qp(

@@ -122,6 +122,7 @@ def rti_config_6dof(
     admm: Optional[ADMMConfig] = None,
     cone_facets: int = 0,
     glideslope_facets: int = 0,
+    bound_translation: bool = True,
 ) -> RTIConfig:
     """Build an :class:`RTIConfig` for the 14-state quaternion model.
 
@@ -130,11 +131,21 @@ def rti_config_6dof(
     u_x and the outer lateral extent T_max·sinδ; the facets couple lateral
     to axial authority). ``glideslope_facets > 0`` adds position glideslope
     rows. 0 keeps the pure box QP.
+
+    ``bound_translation=False`` drops the condensed QP's bound rows for the
+    7 translation components [m, r, v] — their ±100..500 m boxes are loose
+    envelopes that cannot bind in a landing approach (the reference's 6-DoF
+    NLP bounds attitude/rate and constrains position via the glideslope
+    cone, never via translation boxes — ``src/mpc/constraints.py:198-419``),
+    yet their Γ rows are HALF of the ADMM iteration's dominant HBM stream.
+    The attitude/rate rows (q box, ω box) are kept: they bind.
     """
     params = params or Rocket6DoFParams()
     w = weights or CostWeights()
     x_min, x_max = state_box_6dof(params)
     extra = {}
+    if not bound_translation:
+        extra["x_bound_mask"] = (False,) * 7 + (True,) * 7
     if cone_facets:
         ux_min = params.T_min * math.cos(params.delta_max)
         lat = params.T_max * math.sin(params.delta_max)

@@ -149,12 +149,15 @@ class ADMMConfig:
     tail_f32_iters: int = struct.field(pytree_node=False, default=0)
 
 
-def _compact_structure(A: Array, segs: tuple) -> tuple:
+def _compact_structure(A: Array, segs: tuple, E: Optional[Array] = None,
+                       D: Optional[Array] = None) -> tuple:
     """Extract compact per-segment operands from the (scaled) dense A.
 
     One-time copies costing ~one A-stream; the iteration matvecs then read
     only structural nonzeros. Returns ops in row order; any rows past the
-    declared segments become a trailing dense segment.
+    declared segments become a trailing dense segment. ``E``/``D`` are the
+    Ruiz row/column scalings of A (needed by "blockdiag_shared", whose
+    scaled stage blocks differ only by diagonal factors).
     """
     m, n = A.shape
     ops = []
@@ -185,6 +188,28 @@ def _compact_structure(A: Array, segs: tuple) -> tuple:
             idx = jnp.arange(nb)
             ops.append(("blockdiag", seg_A[idx, :, idx, :]))  # (nb, h, w)
             r0 += nb * h
+        elif kind == "blockdiag_shared":
+            # block-diagonal whose UNSCALED block is one shared (h, w) matrix
+            # repeated every stage (stage-constant facet rows, e.g. the
+            # gimbal cone's Gu): the scaled stage-k block is
+            # diag(E_k)·B·diag(D_k), so store the scaled stage-0 block plus
+            # per-stage row/col RATIO vectors r_k = E_k/E_0, c_k = D_k/D_0 —
+            # the iteration streams h·w + nb·(h+w) floats instead of nb·h·w.
+            _, nb, h, w = seg
+            if nb * w != n:
+                raise ValueError("blockdiag_shared segment must tile all columns")
+            if E is not None and D is not None:
+                E_seg = E[r0 : r0 + nb * h].reshape(nb, h)
+                D_seg = D.reshape(nb, w)
+                r_fac = E_seg / E_seg[0]
+                c_fac = D_seg / D_seg[0]
+            else:  # unscaled A: stage blocks are identical by contract
+                r_fac = jnp.ones((nb, h), A.dtype)
+                c_fac = jnp.ones((nb, w), A.dtype)
+            ops.append((
+                "blockdiag_shared", A[r0 : r0 + h, :w], r_fac, c_fac,
+            ))
+            r0 += nb * h
         else:
             raise ValueError(f"unknown row-structure segment {kind!r}")
     if r0 > m:
@@ -204,8 +229,51 @@ def _cast_ops(ops: tuple, dtype) -> tuple:
         elif op[0] == "blt":
             out.append((op[0], tuple(b.astype(dtype) for b in op[1]), *op[2:]))
         else:
-            out.append((op[0], op[1].astype(dtype)))
+            # matrix operand only; auxiliary factors (blockdiag_shared's
+            # per-stage scale ratios) stay f32 — their stream is negligible
+            out.append((op[0], op[1].astype(dtype), *op[2:]))
     return tuple(out)
+
+
+def _materialize_ops(ops: tuple, m: int, n: int, dtype) -> Array:
+    """Dense (m, n) matrix of the operator the streamed ``ops`` actually
+    apply. Used to factor the KKT system from EXACTLY the applied operator
+    when the stream is bf16 (operator/factor consistency is per row: "diag"
+    segments stream f32 and stay f32; every other segment's operand is
+    rounded the same way the stream rounds it — including composite kinds
+    like blockdiag_shared, where bf16(B)·r·c ≠ bf16(B·r·c))."""
+    rows = []
+    for op in ops:
+        kind = op[0]
+        if kind == "dense":
+            rows.append(op[1].astype(dtype))
+        elif kind == "diag":
+            d = op[1]
+            nr = d.shape[0]
+            blk = jnp.zeros((nr, n), dtype)
+            rows.append(blk.at[jnp.arange(nr), jnp.arange(nr)].set(d))
+        elif kind == "blt":
+            _, blocks, C, h, w = op
+            for i, b in enumerate(blocks):
+                pad = jnp.zeros((h, n - (i + 1) * w), dtype)
+                rows.append(jnp.concatenate([b.astype(dtype), pad], axis=1))
+        elif kind == "blockdiag":
+            Bd = op[1].astype(dtype)
+            nb, h, w = Bd.shape
+            eye = jnp.eye(nb, dtype=dtype)
+            # (nb, h, nb, w) with block k on the diagonal
+            full = jnp.einsum("kij,kl->kilj", Bd, eye).reshape(nb * h, nb * w)
+            rows.append(full)
+        else:  # blockdiag_shared
+            _, B0, r, c = op
+            B0 = B0.astype(dtype)
+            nb, h = r.shape
+            w = c.shape[1]
+            Bd = r[:, :, None] * B0[None] * c[:, None, :]
+            eye = jnp.eye(nb, dtype=dtype)
+            full = jnp.einsum("kij,kl->kilj", Bd, eye).reshape(nb * h, nb * w)
+            rows.append(full)
+    return jnp.concatenate(rows, axis=0)
 
 
 def _make_A_ops(ops: tuple, n: int):
@@ -240,6 +308,22 @@ def _make_A_ops(ops: tuple, n: int):
             preferred_element_type=jnp.float32,
         )
 
+    def smv(B0, r, c, V):  # shared-block blockdiag: r_k·(B0 @ (c_k·v_k))
+        cV = c * V
+        prod = jax.lax.dot_general(
+            cV.astype(B0.dtype), B0, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) if B0.dtype == jnp.bfloat16 else cV @ B0.T
+        return r * prod
+
+    def smvT(B0, r, c, T):  # transpose: c_k·(B0ᵀ @ (r_k·t_k))
+        rT = r * T
+        prod = jax.lax.dot_general(
+            rT.astype(B0.dtype), B0, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) if B0.dtype == jnp.bfloat16 else rT @ B0
+        return c * prod
+
     def A_apply(v):
         outs = []
         for op in ops:
@@ -251,6 +335,10 @@ def _make_A_ops(ops: tuple, n: int):
             elif kind == "blt":
                 _, blocks, C, h, w = op
                 outs.extend(mv(blocks[i], v[: (i + 1) * w]) for i in range(C))
+            elif kind == "blockdiag_shared":
+                _, B0, r, c = op
+                nb, w = c.shape
+                outs.append(smv(B0, r, c, v.reshape(nb, w)).reshape(-1))
             else:  # blockdiag
                 Bd = op[1]
                 nb, _, w = Bd.shape
@@ -277,6 +365,13 @@ def _make_A_ops(ops: tuple, n: int):
                         mvT(blocks[i], t[r0 + i * h : r0 + (i + 1) * h])
                     )
                 r0 += C * h
+            elif kind == "blockdiag_shared":
+                _, B0, r, c = op
+                nb, h = r.shape
+                out = out + smvT(
+                    B0, r, c, t[r0 : r0 + nb * h].reshape(nb, h)
+                ).reshape(-1)
+                r0 += nb * h
             else:  # blockdiag
                 Bd = op[1]
                 nb, h, _ = Bd.shape
@@ -463,6 +558,45 @@ def solve(
 
     rho_init = jnp.asarray(cfg.rho if rho0 is None else rho0, dtype)
     rho_v = _rho_vec(l, u, rho_init)
+
+    # -- dispatch selection (must precede the factorization: the Pallas
+    # paths apply the f32 A in VMEM, so the KKT factor must come from the
+    # f32 A there regardless of matvec_dtype) --------------------------------
+    if cfg.use_pallas == "on":
+        pallas_iters = True
+    elif cfg.use_pallas == "auto":
+        from ..pallas.admm_kernel import pallas_available
+
+        pallas_iters = pallas_available()
+    else:
+        pallas_iters = False
+
+    lanes_chunk = None
+    if cfg.use_pallas in ("lanes", "lanes_interpret"):
+        from ..pallas.admm_kernel import make_admm_chunk_lanes
+
+        pallas_iters = False
+        lanes_chunk = make_admm_chunk_lanes(
+            cfg.check_interval, cfg.sigma, cfg.alpha,
+            interpret=cfg.use_pallas == "lanes_interpret",
+        )
+    pallas_active = pallas_iters or lanes_chunk is not None
+    if pallas_active and cfg.matvec_dtype == "bf16" and cfg.tail_f32_iters > 0:
+        raise ValueError(
+            "tail_f32_iters > 0 cannot run on a Pallas iteration path "
+            "(use_pallas=%r applies the f32 A in VMEM; the bf16 bulk + f32 "
+            "tail split only exists on the XLA stream path). Set "
+            "use_pallas='off' or tail_f32_iters=0." % cfg.use_pallas
+        )
+
+    # structure-aware streamed operands, compacted once per solve (cost ≈ one
+    # A-stream, amortized over all iterations; see ADMMConfig.row_structure)
+    segs = cfg.row_structure if cfg.row_structure is not None else (("dense", m),)
+    bf16_stream = cfg.matvec_dtype == "bf16" and not pallas_active
+    ops_f32 = _compact_structure(A, segs, E=scal.E, D=scal.D)
+    ops_stream = _cast_ops(ops_f32, jnp.bfloat16) if bf16_stream else ops_f32
+    A_apply, AT_apply = _make_A_ops(ops_stream, n)
+
     # Operator-consistent bf16: the iteration applies the bf16-ROUNDED Ā, so
     # the KKT system must be factored from the same Ā. Factoring from the f32
     # A while iterating with Ā makes the splitting map expansive (measured:
@@ -470,11 +604,12 @@ def solve(
     # inconsistency, not the ~4e-3 fixed-point shift, is what collapsed the
     # batch-4096 bf16 campaign. With a consistent pair the bulk is EXACT ADMM
     # on the perturbed QP(Ā) and converges to a nearby fixed point; the f32
-    # tail (tail_f32_iters) then removes the remaining bias.
-    A_fact = (
-        A.astype(jnp.bfloat16).astype(dtype)
-        if cfg.matvec_dtype == "bf16" else A
-    )
+    # tail (tail_f32_iters) then removes the remaining bias. The factored
+    # matrix is MATERIALIZED from the streamed operands (``_materialize_ops``)
+    # so factor and operator agree per row for every segment kind ("diag"
+    # stays f32, composite kinds round exactly like their stream). Pallas
+    # paths apply the f32 A → factor from A.
+    A_fact = _materialize_ops(ops_stream, m, n, dtype) if bf16_stream else A
     if kkt_inv0 is not None:
         L = _ns_refresh(P, A_fact, rho_v, cfg.sigma, kkt_inv0, iters=cfg.ns_iters)
     else:
@@ -495,16 +630,6 @@ def solve(
             q_unsc_norm,
         )
         return r_prim, r_dual, prim_norm, dual_norm
-
-    # structure-aware streamed operands, compacted once per solve (cost ≈ one
-    # A-stream, amortized over all iterations; see ADMMConfig.row_structure)
-    segs = cfg.row_structure if cfg.row_structure is not None else (("dense", m),)
-    ops_f32 = _compact_structure(A, segs)
-    ops_stream = (
-        _cast_ops(ops_f32, jnp.bfloat16) if cfg.matvec_dtype == "bf16"
-        else ops_f32
-    )
-    A_apply, AT_apply = _make_A_ops(ops_stream, n)
 
     def make_one_iter(L_mv, A_apply=A_apply, AT_apply=AT_apply):
         if L_mv.dtype == jnp.bfloat16:
@@ -529,26 +654,18 @@ def solve(
 
         return one_iter
 
-    n_chunks = max(cfg.max_iter // cfg.check_interval, 1)
-
-    if cfg.use_pallas == "on":
-        pallas_iters = True
-    elif cfg.use_pallas == "auto":
-        from ..pallas.admm_kernel import pallas_available
-
-        pallas_iters = pallas_available()
-    else:
-        pallas_iters = False
-
-    lanes_chunk = None
-    if cfg.use_pallas in ("lanes", "lanes_interpret"):
-        from ..pallas.admm_kernel import make_admm_chunk_lanes
-
-        pallas_iters = False
-        lanes_chunk = make_admm_chunk_lanes(
-            cfg.check_interval, cfg.sigma, cfg.alpha,
-            interpret=cfg.use_pallas == "lanes_interpret",
+    # the chunk schedule runs n_chunks · check_interval iterations; a
+    # non-dividing pair silently truncates the budget (found live: a 6-DoF
+    # bf16-tail config at max_iter=80, check_interval=50 ran 50 bulk
+    # iterations, not 80 — enough to flip campaign success)
+    if cfg.max_iter % cfg.check_interval != 0 and cfg.max_iter > cfg.check_interval:
+        raise ValueError(
+            f"max_iter={cfg.max_iter} must be a multiple of "
+            f"check_interval={cfg.check_interval} (the chunked schedule "
+            f"would run {max(cfg.max_iter // cfg.check_interval, 1) * cfg.check_interval} "
+            "iterations instead)"
         )
+    n_chunks = max(cfg.max_iter // cfg.check_interval, 1)
 
     def make_chunk(allow_refactor: bool):
         def chunk(state, _):
@@ -710,17 +827,31 @@ def solve(
         # operator-consistent factorization from the TRUE f32 A (one cheap
         # (n×n) factor; the bulk's L solves the perturbed QP(Ā)). Frozen
         # lanes (converged under the f32 residual test, or certified
-        # infeasible) stay frozen.
-        L_tail = _factor(P, A, rho_v, cfg.sigma)
-        one_iter_f32 = make_one_iter(L_tail, *_make_A_ops(ops_f32, n))
+        # infeasible) stay frozen. The one-trip while_loop mirrors
+        # early_exit: under vmap the condition is OR-reduced across lanes,
+        # so a fully-converged batch skips the tail entirely instead of
+        # running tail_f32_iters discarded iterations.
+        def tail_trip(c):
+            k, _, _, _ = c
+            return (k < 1) & ~done
 
-        def tail_body(c, _):
-            xx, zz, yy = one_iter_f32((c[0], c[1], c[2], rho_v))
-            return (xx, zz, yy), None
+        def tail_run(c):
+            k, xx, zz, yy = c
+            L_tail = _factor(P, A, rho_v, cfg.sigma)
+            one_iter_f32 = make_one_iter(L_tail, *_make_A_ops(ops_f32, n))
 
-        (x_t, z_t, y_t), _ = jax.lax.scan(
-            tail_body, (x, z, y), None, length=cfg.tail_f32_iters,
-            unroll=cfg.iter_unroll,
+            def tail_body(cc, _):
+                x1, z1, y1 = one_iter_f32((cc[0], cc[1], cc[2], rho_v))
+                return (x1, z1, y1), None
+
+            (xx, zz, yy), _ = jax.lax.scan(
+                tail_body, (xx, zz, yy), None, length=cfg.tail_f32_iters,
+                unroll=cfg.iter_unroll,
+            )
+            return (k + 1, xx, zz, yy)
+
+        _, x_t, z_t, y_t = jax.lax.while_loop(
+            tail_trip, tail_run, (jnp.asarray(0, jnp.int32), x, z, y)
         )
         keep = ~done
         x = jnp.where(keep, x_t, x)

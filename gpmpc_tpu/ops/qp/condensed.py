@@ -92,10 +92,22 @@ def build_condensed_qp(
     Gu: Optional[Array] = None,
     gu_l: Optional[Array] = None,
     gu_u: Optional[Array] = None,
+    x_bound_mask: Optional[tuple] = None,
 ) -> Tuple[QPData, Array, Array]:
     """Assemble the condensed QP; returns (data, Gs, ds) — keep (Gs, ds) for
     :func:`recover_states`. Cost/bound semantics match ``build_mpc_qp``
-    (objective ½(x−r)ᵀQ(x−r) per stage; the x₀ term is constant and drops)."""
+    (objective ½(x−r)ᵀQ(x−r) per stage; the x₀ term is constant and drops).
+
+    ``x_bound_mask`` (static tuple of n_x bools) selects which state
+    components get bound rows; None = all. The state-bound rows are the Γ
+    stream — the dominant HBM operand of the ADMM iteration — so components
+    whose box is decorative (±50..500 m translation envelopes that cannot
+    bind in a descent; the reference's 6-DoF NLP has no translation boxes at
+    all, only glideslope — ``src/mpc/constraints.py:112-132``) should not pay
+    rows. Elided components keep their dynamics (states are condensed, never
+    free) and their cost terms; only the box rows go. The profiled 6-DoF RT
+    cycle streams ~40 GB/cycle at batch 4096 through these rows — elision of
+    the 7 translation rows halves that."""
     N, n_x, n_u = Bks.shape
     nu = N * n_u
     dtype = Aks.dtype
@@ -125,18 +137,36 @@ def build_condensed_qp(
     Ulo = jnp.broadcast_to(u_min, (N, n_u)).reshape(-1)
     Uhi = jnp.broadcast_to(u_max, (N, n_u)).reshape(-1)
 
-    A_state = Gs.reshape(N * n_x, nu)
+    if x_bound_mask is not None:
+        sel = tuple(i for i, keep in enumerate(x_bound_mask) if keep)
+        n_sel = len(sel)
+        sel = jnp.asarray(sel, jnp.int32) if n_sel else None
+    else:
+        sel, n_sel = None, n_x
+
     # keep genuinely-free rows at ±inf instead of (±inf − d_k), so the
     # solver's free-row detection (|bound| ≥ 1e20) still fires after scaling
     big = 1e19
-    l_state = jnp.where(Xlo <= -big, Xlo, Xlo - ds).reshape(-1)
-    u_state = jnp.where(Xhi >= big, Xhi, Xhi - ds).reshape(-1)
+    if sel is not None:
+        Gs_b, ds_b = Gs[:, sel, :], ds[:, sel]
+        Xlo_b, Xhi_b = Xlo[:, sel], Xhi[:, sel]
+    else:
+        Gs_b, ds_b, Xlo_b, Xhi_b = Gs, ds, Xlo, Xhi
+    if n_sel:
+        A_state = Gs_b.reshape(N * n_sel, nu)
+        l_state = jnp.where(Xlo_b <= -big, Xlo_b, Xlo_b - ds_b).reshape(-1)
+        u_state = jnp.where(Xhi_b >= big, Xhi_b, Xhi_b - ds_b).reshape(-1)
+        blocks = [A_state]
+        ls = [l_state]
+        us = [u_state]
+    else:
+        blocks, ls, us = [], [], []
 
     A_ctrl = jnp.eye(nu, dtype=dtype)
 
-    blocks = [A_state, A_ctrl]
-    ls = [l_state, Ulo]
-    us = [u_state, Uhi]
+    blocks.append(A_ctrl)
+    ls.append(Ulo)
+    us.append(Uhi)
 
     if Gx is not None:
         n_gx = Gx.shape[0]
@@ -168,6 +198,8 @@ def build_condensed_qp(
 
 
 def n_condensed_constraints(
-    N: int, n_x: int, n_u: int, n_gx: int = 0, n_gu: int = 0
+    N: int, n_x: int, n_u: int, n_gx: int = 0, n_gu: int = 0,
+    x_bound_mask: Optional[tuple] = None,
 ) -> int:
-    return N * (n_x + n_u + n_gx + n_gu)
+    n_b = n_x if x_bound_mask is None else sum(bool(b) for b in x_bound_mask)
+    return N * (n_b + n_u + n_gx + n_gu)

@@ -229,6 +229,7 @@ def make_filtered_controller(
     config: SafetyFilterConfig,
     admm: Optional[ADMMConfig] = None,
     half_step: int = 10**9,
+    step_fn_from_inner: Optional[Callable] = None,
 ):
     """Compose any ``(controller_init, controller_step)`` pair with the
     predictive safety filter so it can run *inside* a vmapped Monte-Carlo
@@ -247,6 +248,14 @@ def make_filtered_controller(
     override every step is one whose nominal controller is fighting the
     recoverability certificate — stop consulting it). ``"continue"``
     (default) filters forever.
+
+    ``step_fn_from_inner(inner_state) -> step_fn`` optionally derives the
+    filter's recoverability model from the (possibly learning) inner
+    controller's state — e.g. nominal + the lane's own learned GP mean — so
+    the filter's certificate improves WITH the model instead of staying
+    pinned to the nominal+pad model while the controller outgrows it (the
+    reference's filter likewise consumes the learner's current model,
+    ``online_learner.py:592-601``). None keeps the static ``step_fn``.
     """
     if config.after_max not in ("continue", "switch_to_backup"):
         raise ValueError(
@@ -263,7 +272,8 @@ def make_filtered_controller(
     def fstep(state, x, k):
         inner, n_int, n_early, consec, switched = state
         u_nom, inner2 = controller_step(inner, x, k)
-        res = filter_control(step_fn, backup, invariant, config, x, u_nom, admm)
+        sf = step_fn if step_fn_from_inner is None else step_fn_from_inner(inner2)
+        res = filter_control(sf, backup, invariant, config, x, u_nom, admm)
         # don't count post-touchdown frozen lanes (the campaign scan keeps
         # stepping a landed lane's controller on its frozen ground state)
         in_flight = x[1] > 0.15

@@ -28,6 +28,9 @@ if "--cpu" in sys.argv:
     # backend at interpreter start (see tests/conftest.py)
     sys.argv.remove("--cpu")
     jax.config.update("jax_platforms", "cpu")
+ELIDE = "--elide" in sys.argv
+if ELIDE:
+    sys.argv.remove("--elide")
 import jax.numpy as jnp
 
 from gpmpc_tpu.dynamics import Rocket6DoFParams, rocket6dof as r6
@@ -75,6 +78,7 @@ base = rti_config_6dof(
     admm=ADMMConfig(max_iter=100, polish=False, adaptive_rho=False,
                     scaling=2, use_pallas="off", check_interval=50,
                     infeas_certs=False, iter_unroll=25),
+    bound_translation=not ELIDE,
 ).replace(accept_pri_tol=1e-2, condensed=True)
 cfg = GPMPCConfig(base=base, scp_iterations=1, tighten=True,
                   rollout_gp_tape=True)

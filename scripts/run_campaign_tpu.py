@@ -53,6 +53,10 @@ def build_3dof(args, jax, jnp):
             # the XLA path on the condensed shape — pin the benched config
             use_pallas="off",
         ),
+        # --elide: all 7 3-DoF state boxes are ±50..500 loose envelopes
+        # (binding descent constraints live in the calibration/facet
+        # configs) — their Γ rows are the ADMM's dominant HBM stream
+        **({"x_bound_mask": (False,) * 7} if args.elide else {}),
     )
     if args.bf16:
         # bf16 operand streams + the matching looser acceptance gate (bf16
@@ -193,6 +197,8 @@ def _apply_admm_overrides(base, args):
     iteration — which side wins is batch- and model-dependent, so make it
     measurable per campaign.
     """
+    from gpmpc_tpu.mpc.rti import _n_bound_states
+
     admm = base.admm
     if args.ci > 0:
         admm = admm.replace(check_interval=args.ci,
@@ -200,7 +206,7 @@ def _apply_admm_overrides(base, args):
     if args.pallas != "keep":
         admm = admm.replace(use_pallas=args.pallas)
     if args.rows == "dense":
-        m = base.N * (base.n_x + base.n_u)
+        m = base.N * (_n_bound_states(base) + base.n_u)
         if base.Gx is not None:
             m += base.N * base.Gx.shape[0]
         if base.Gu is not None:
@@ -227,6 +233,7 @@ def build_6dof(args, jax, jnp):
             use_pallas="off",
         ),
         cone_facets=args.facets, glideslope_facets=args.facets,
+        bound_translation=not args.elide,
     ).replace(accept_pri_tol=2e-2 if args.bf16 else 1e-2,
               condensed=not args.sparse)
     if args.bf16:
@@ -290,13 +297,19 @@ def build_6dof(args, jax, jnp):
             )
             if args.bf16_tail > 0:
                 # bf16 bulk + f32 tail inside the same 100-iteration budget
-                # (see the 3-DoF note; the 14-state QP keeps its full budget)
+                # (see the 3-DoF note; the 14-state QP keeps its full
+                # budget). check_interval must DIVIDE the bulk budget — the
+                # chunk schedule runs floor(mi/ci)·ci iterations, so
+                # ci=min(50, mi) at e.g. mi=80 silently ran 50 bulk
+                # iterations (the regime measured at 0.67 success on this
+                # QP); pick the largest divisor of mi ≤ 50 instead.
                 mi = 100 - args.bf16_tail
+                ci = max(d for d in range(1, min(50, mi) + 1) if mi % d == 0)
                 base = base.replace(
                     accept_pri_tol=1e-2,
                     admm=base.admm.replace(
-                        max_iter=mi, check_interval=min(50, mi),
-                        iter_unroll=25, matvec_dtype="bf16",
+                        max_iter=mi, check_interval=ci,
+                        iter_unroll=max(1, ci // 2), matvec_dtype="bf16",
                         tail_f32_iters=args.bf16_tail,
                     ),
                 )
@@ -393,6 +406,16 @@ def main() -> int:
                          "ADMM matvec instead of the condensed row-structure "
                          "segments (fewer, larger ops — see "
                          "_apply_admm_overrides)")
+    ap.add_argument("--elide", action="store_true",
+                    help="drop the condensed QP's bound rows for the loose "
+                         "translation-envelope state components (6-DoF: the "
+                         "7 [m, r, v] rows whose ±100..500 boxes cannot bind "
+                         "in a descent; 3-DoF: all 7 — glideslope/velocity "
+                         "constraints, when wanted, are facet/calibration "
+                         "configs, not these envelopes). Halves the ADMM "
+                         "iteration's dominant HBM stream; quality gates "
+                         "(success, touchdown speed) must match the "
+                         "unelided artifact.")
     ap.add_argument("--out", type=str, default=None, help="write JSON here")
     args = ap.parse_args()
 
@@ -414,6 +437,23 @@ def main() -> int:
         summarize,
     )
 
+    if args.bf16_tail != 0:
+        # the flag only wires into the gp_mpc --rt builds; anywhere else it
+        # would be silently ignored (or, past the budget, yield max_iter<=0)
+        if args.controller != "gp_mpc" or not args.rt:
+            raise SystemExit(
+                "--bf16-tail requires --controller gp_mpc --rt (the RT "
+                "schedule is where the bulk/tail split is defined)")
+        budget = 100 if args.model == "6dof" else 50
+        if not 0 < args.bf16_tail < budget:
+            raise SystemExit(
+                f"--bf16-tail must be in (0, {budget}) for --model "
+                f"{args.model} (the tail comes out of the {budget}-iteration "
+                "budget)")
+        if args.pallas == "lanes":
+            raise SystemExit(
+                "--bf16-tail cannot combine with --pallas lanes (the Pallas "
+                "chunk applies the f32 A in VMEM; there is no bf16 bulk)")
     if args.gust != 0.0 and (
         args.controller not in ("rti", "gp_mpc", "online_gp_mpc")
         or args.model != "3dof"

@@ -46,6 +46,21 @@ def main() -> int:
                          "the filter must catch the endgame ~0.2 m/s tail "
                          "earlier (measured: N=5 intervenes below 2 m but "
                          "can no longer shave the overspeed)")
+    ap.add_argument("--filter-model", choices=["pad", "gp"], default="pad",
+                    help="recoverability model inside the filter. 'pad': "
+                         "nominal + the static worst-case gust pad (round-4 "
+                         "config — the certificate stays pinned while the "
+                         "controller's model improves). 'gp': nominal + the "
+                         "lane's LEARNED GP mean, with the static pad faded "
+                         "by the same variance gate the controller uses "
+                         "(full pad where the GP has no data, learned "
+                         "disturbance where it does) — the filter's "
+                         "certificate improves WITH the model, reference "
+                         "online_learner.py:592-601.")
+    ap.add_argument("--vfree", type=float, default=1.5,
+                    help="funnel touchdown allowance (m/s). The success "
+                         "gate is 2.0; the gap is the filter's margin for "
+                         "residual model error in the final meters.")
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--out", type=str, default=None)
     args = ap.parse_args()
@@ -108,7 +123,7 @@ def main() -> int:
 
     # funnel filter with the disturbance-padded recoverability model (the
     # same pad expression the plant applies — see run_campaign_tpu --gust)
-    inv = DescentFunnelSet(slope=0.6, v_free=1.5)
+    inv = DescentFunnelSet(slope=0.6, v_free=args.vfree)
     backup = EmergencyBrakingController(
         T_max=p.T_max, g_I=jnp.array([-1.0, 0.0, 0.0]))
     fcfg = SafetyFilterConfig(
@@ -117,8 +132,30 @@ def main() -> int:
         u_max=jnp.full(3, p.T_max),
     )
     F_filter = lambda x, u: F(x, u) + dt * jnp.zeros(7).at[4].set(gust_accel(x))
+    sf_from_inner = None
+    if args.filter_model == "gp":
+        # the filter's recoverability rollouts read the lane's own learned
+        # GP: nominal + gated GP mean + the static gust pad FADED by the
+        # same variance gate the controller's prediction uses (w→0 off-data
+        # keeps the full worst-case pad; w→1 on-data replaces it with the
+        # learned disturbance — no double counting, no optimistic gap
+        # before the GP activates)
+        def sf_from_inner(inner):
+            prior = jnp.exp(inner.gp.gp.kernels.log_variance)
+
+            def sf(x, u):
+                m, v = inner.gp.predict_gated(x, u)
+                w_vert = jnp.clip(1.0 - v[0] / jnp.maximum(prior[0], 1e-12),
+                                  0.0, 1.0)
+                d = jnp.zeros(7).at[4:7].set(m)
+                d = d.at[4].add((1.0 - w_vert) * gust_accel(x))
+                return F(x, u) + dt * d
+
+            return sf
+
     finit, fstep = make_filtered_controller(
-        cinit_i, cstep_i, F_filter, backup, inv, fcfg)
+        cinit_i, cstep_i, F_filter, backup, inv, fcfg,
+        step_fn_from_inner=sf_from_inner)
 
     sim = SimulationConfig(max_steps=args.steps, altitude_mean=15.0,
                            altitude_std=1.5)
@@ -187,6 +224,7 @@ def main() -> int:
     per_ep = []
     for e in range(args.episodes):
         sel = lambda k: np.asarray(res[k])[:, e]
+        spd = sel("speed")
         per_ep.append({
             "episode": e + 1,
             "success_rate": round(float(sel("success").mean()), 4),
@@ -194,8 +232,13 @@ def main() -> int:
             "interventions_mean": round(float(sel("interventions").mean()), 2),
             "intervention_rate": round(
                 float((sel("interventions") > 0).mean()), 4),
-            "touchdown_speed_mean": round(
-                float(np.nanmean(sel("speed"))), 3),
+            "touchdown_speed_mean": round(float(np.nanmean(spd)), 3),
+            # the failure-tail trace VERDICT r4 asked for: how much of the
+            # episode exceeds the 2 m/s success gate, and how hot the p95 is
+            "touchdown_speed_p95": round(
+                float(np.nanpercentile(spd, 95)), 3),
+            "overspeed_rate": round(
+                float(np.nanmean((spd > 2.0).astype(np.float64))), 4),
             "model_err_mean": round(float(np.nanmean(sel("model_err"))), 5),
             "gp_points_mean": round(float(sel("gp_points").mean()), 1),
         })
@@ -203,9 +246,18 @@ def main() -> int:
 
     ints = [r["interventions_mean"] for r in per_ep]
     errs = [r["model_err_mean"] for r in per_ep]
+    succ = [r["success_rate"] for r in per_ep]
+    # non-decreasing within the shared-IC binomial CI: episode e's success
+    # may fall below episode 1's by at most 2 binomial standard errors
+    # (the r4 artifact passed `final > 0.95` while success slid 0.992 →
+    # 0.953 — exactly the trend this gate now rejects)
+    se = (max(succ[0] * (1 - succ[0]), 1e-6) / args.batch) ** 0.5
+    success_non_decreasing = all(s >= succ[0] - 2.0 * se for s in succ[1:])
     result = {
         "campaign": "online_gpmpc_safety_gust_3dof",
         "controller": "online GP-MPC (in-loop learning) + funnel safety filter",
+        "filter_model": args.filter_model,
+        "v_free": args.vfree,
         "batch": args.batch,
         "episodes": args.episodes,
         "steps": args.steps,
@@ -216,6 +268,8 @@ def main() -> int:
         "interventions_decrease": ints[-1] < ints[0],
         "model_err_by_episode": errs,
         "model_err_decreases": errs[-1] < errs[0],
+        "success_by_episode": succ,
+        "success_non_decreasing_within_ci": success_non_decreasing,
         "final_success_rate": per_ep[-1]["success_rate"],
         "episodes_flown": args.batch * args.episodes,
         "wall_s": round(wall, 1),
@@ -224,7 +278,8 @@ def main() -> int:
     if args.out:
         Path(args.out).write_text(json.dumps(result, indent=1))
     ok = (result["interventions_decrease"]
-          and result["final_success_rate"] > 0.95)
+          and result["final_success_rate"] > 0.95
+          and success_non_decreasing)
     print("ONLINE+SAFETY:", "PASS" if ok else "FAIL")
     return 0 if ok else 1
 

@@ -168,6 +168,160 @@ class TestCondensedParity:
         assert int(s_struct.status) == int(s_dense.status)
 
 
+class TestBoundRowElision:
+    def test_elided_loose_bounds_same_solution(self, ltv):
+        """x_bound_mask drops bound rows; when those boxes could not bind
+        (loose translation envelopes) the optimum is unchanged."""
+        Aks, Bks, cks, x0, cfg = ltv
+        N = cfg.N
+        x_ref = jnp.tile(jnp.zeros(7).at[0].set(2.0), (N + 1, 1))
+        acc = ADMMConfig(max_iter=20000, eps_abs=1e-7, eps_rel=1e-7, polish=True)
+        # genuinely loose envelopes (the fixture's ±50 velocity box CAN bind
+        # under this aggressive tracking reference — that case is the next
+        # test's subject)
+        x_lo = jnp.full(7, -1e4).at[0].set(-1e20)
+        x_hi = jnp.full(7, 1e4).at[0].set(1e20)
+        full, _, _ = build_condensed_qp(
+            Aks, Bks, cks, x0, cfg.Q, cfg.R, cfg.Qf, x_ref,
+            x_lo, x_hi, cfg.u_min, cfg.u_max,
+        )
+        mask = (False,) * 7
+        elided, _, _ = build_condensed_qp(
+            Aks, Bks, cks, x0, cfg.Q, cfg.R, cfg.Qf, x_ref,
+            x_lo, x_hi, cfg.u_min, cfg.u_max,
+            x_bound_mask=mask,
+        )
+        assert elided.A.shape[0] == N * 3
+        # compare at f64/tight tolerance: the point is FORMULATION parity
+        # (measured here: f64 agreement is exact to 1e-9; the f32 FULL qp
+        # with ±1e4 bound rows is the arm that struggles to converge — the
+        # elided problem is better conditioned)
+        to64 = lambda t: jax.tree.map(lambda a: jnp.asarray(a, jnp.float64), t)
+        with jax.enable_x64(True):
+            s_full = jax.jit(lambda d: solve(d, config=acc))(to64(full))
+            s_el = jax.jit(lambda d: solve(d, config=acc))(to64(elided))
+            np.testing.assert_allclose(
+                np.asarray(s_el.x), np.asarray(s_full.x), atol=1e-5)
+
+    def test_partial_mask_keeps_binding_rows(self, ltv):
+        """A mask that KEEPS a binding bound must still enforce it: tighten
+        the vertical-velocity floor so it binds, elide only position rows."""
+        Aks, Bks, cks, x0, cfg = ltv
+        N = cfg.N
+        x_ref = jnp.tile(jnp.zeros(7).at[0].set(2.0), (N + 1, 1))
+        x_min = cfg.x_min.at[4].set(-3.5)  # descent-speed floor: feasible from v0=-3, binds under the aggressive tracking reference
+        acc = ADMMConfig(max_iter=20000, eps_abs=1e-7, eps_rel=1e-7, polish=True)
+        full, _, _ = build_condensed_qp(
+            Aks, Bks, cks, x0, cfg.Q, cfg.R, cfg.Qf, x_ref,
+            x_min, cfg.x_max, cfg.u_min, cfg.u_max,
+        )
+        mask = (False, False, False, False, True, True, True)
+        elided, Gs, ds = build_condensed_qp(
+            Aks, Bks, cks, x0, cfg.Q, cfg.R, cfg.Qf, x_ref,
+            x_min, cfg.x_max, cfg.u_min, cfg.u_max,
+            x_bound_mask=mask,
+        )
+        assert elided.A.shape[0] == N * (3 + 3)
+        to64 = lambda t: jax.tree.map(lambda a: jnp.asarray(a, jnp.float64), t)
+        with jax.enable_x64(True):
+            s_full = jax.jit(lambda d: solve(d, config=acc))(to64(full))
+            s_el = jax.jit(lambda d: solve(d, config=acc))(to64(elided))
+            np.testing.assert_allclose(
+                np.asarray(s_el.x), np.asarray(s_full.x), atol=1e-5)
+            # the floor is active and respected in the recovered trajectory
+            X = recover_states(to64(Gs), to64(ds), s_el.x, to64(x0))
+            assert float(jnp.min(X[1:, 4])) > -3.5 - 1e-3
+            assert float(jnp.min(X[1:, 4])) < -3.4  # it actually binds
+
+    def test_masked_row_structure_solve(self, ltv):
+        """_condensed_admm_cfg with a mask declares the reduced BLT segment
+        and the structural solve matches the dense-stream solve."""
+        from gpmpc_tpu.mpc.rti import _condensed_admm_cfg
+
+        Aks, Bks, cks, x0, cfg = ltv
+        N = cfg.N
+        x_ref = jnp.tile(jnp.zeros(7).at[0].set(2.0), (N + 1, 1))
+        base = ADMMConfig(max_iter=200, polish=True, adaptive_rho=False,
+                          scaling=3)
+        mask = (False, True, True, True, True, True, True)
+        cfg_m = cfg.replace(x_bound_mask=mask, admm=base, condensed=True)
+        segs = _condensed_admm_cfg(cfg_m).row_structure
+        assert segs[0] == ("blt", 5, (N // 5) * 6, (N // 5) * 3)
+        data, _, _ = build_condensed_qp(
+            Aks, Bks, cks, x0, cfg.Q, cfg.R, cfg.Qf, x_ref,
+            cfg.x_min, cfg.x_max, cfg.u_min, cfg.u_max,
+            x_bound_mask=mask,
+        )
+        s_dense = jax.jit(lambda d: solve(d, config=base))(data)
+        s_struct = jax.jit(
+            lambda d: solve(d, config=base.replace(row_structure=segs))
+        )(data)
+        np.testing.assert_allclose(
+            np.asarray(s_struct.x), np.asarray(s_dense.x), atol=1e-4)
+
+
+class TestBlockdiagShared:
+    def test_shared_facets_match_dense_under_ruiz(self, ltv):
+        """blockdiag_shared (stage-constant Gu streamed once + per-stage
+        Ruiz ratio vectors) must reproduce the dense-stream solution under a
+        REAL Ruiz equilibration (scaled stage blocks differ by diagonal
+        factors — the ratio vectors must reconstruct them exactly)."""
+        Aks, Bks, cks, x0, cfg = ltv
+        N = cfg.N
+        x_ref = jnp.tile(jnp.zeros(7).at[0].set(2.0), (N + 1, 1))
+        facets = dict(
+            Gu=jnp.array([[1.0, -0.3, 0.0], [1.0, 0.0, -0.3]]),
+            gu_l=jnp.zeros(2),
+            gu_u=jnp.full(2, 1e20),
+        )
+        data, _, _ = build_condensed_qp(
+            Aks, Bks, cks, x0, cfg.Q, cfg.R, cfg.Qf, x_ref,
+            cfg.x_min, cfg.x_max, cfg.u_min, cfg.u_max, **facets,
+        )
+        base = ADMMConfig(max_iter=200, polish=True, adaptive_rho=False,
+                          scaling=10)
+        segs = (("blt", 5, (N // 5) * 7, (N // 5) * 3), ("diag", N * 3),
+                ("blockdiag_shared", N, 2, 3))
+        s_dense = jax.jit(lambda d: solve(d, config=base))(data)
+        s_shared = jax.jit(
+            lambda d: solve(d, config=base.replace(row_structure=segs))
+        )(data)
+        np.testing.assert_allclose(
+            np.asarray(s_shared.x), np.asarray(s_dense.x), atol=1e-4)
+        assert int(s_shared.status) == int(s_dense.status)
+
+    def test_shared_operator_reconstruction_scaled(self, ltv):
+        """Probe the compacted operator against the scaled dense A directly
+        (A_apply/AT_apply exactness is what the iteration relies on)."""
+        from gpmpc_tpu.ops.qp.admm import _compact_structure, _make_A_ops
+        from gpmpc_tpu.ops.qp.ruiz import ruiz_equilibrate
+
+        Aks, Bks, cks, x0, cfg = ltv
+        N = cfg.N
+        x_ref = jnp.tile(jnp.zeros(7).at[0].set(2.0), (N + 1, 1))
+        facets = dict(
+            Gu=jnp.array([[1.0, -0.3, 0.0], [1.0, 0.0, -0.3]]),
+            gu_l=jnp.zeros(2),
+            gu_u=jnp.full(2, 1e20),
+        )
+        data, _, _ = build_condensed_qp(
+            Aks, Bks, cks, x0, cfg.Q, cfg.R, cfg.Qf, x_ref,
+            cfg.x_min, cfg.x_max, cfg.u_min, cfg.u_max, **facets,
+        )
+        sdata, scal = ruiz_equilibrate(data, 10)
+        segs = (("blt", 5, (N // 5) * 7, (N // 5) * 3), ("diag", N * 3),
+                ("blockdiag_shared", N, 2, 3))
+        ops = _compact_structure(sdata.A, segs, E=scal.E, D=scal.D)
+        A_apply, AT_apply = _make_A_ops(ops, data.n)
+        for j in range(0, data.n, 11):
+            e = jnp.zeros(data.n).at[j].set(1.0)
+            np.testing.assert_allclose(
+                np.asarray(A_apply(e)), np.asarray(sdata.A @ e), atol=1e-5)
+            np.testing.assert_allclose(
+                np.asarray(AT_apply(sdata.A @ e)),
+                np.asarray(sdata.A.T @ (sdata.A @ e)), atol=1e-4)
+
+
 class TestCondensed6DoFFacets:
     @pytest.mark.slow
     def test_row_structure_6dof_cones(self):
@@ -193,7 +347,7 @@ class TestCondensed6DoFFacets:
         # the helper must declare all four segments for this config
         segs = _condensed_admm_cfg(cfg).row_structure
         kinds = [s[0] for s in segs]
-        assert kinds == ["blt", "diag", "blt", "blockdiag"], segs
+        assert kinds == ["blt", "diag", "blt", "blockdiag_shared"], segs
 
         F = lambda x, u: r6.step(p, x, u, cfg.dt)
         xT = r6.create_initial_state(p, altitude=0.0)

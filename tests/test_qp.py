@@ -171,6 +171,53 @@ class TestADMM:
             np.asarray(tail.x), np.asarray(f32.x), atol=5e-3)
         assert float(tail.pri_res) < 1e-3
 
+    def test_bf16_diag_row_structure_operator_consistent(self, rng):
+        """With a row_structure containing a "diag" segment, _cast_ops keeps
+        the diag rows' stream f32 — so the bf16 KKT factorization must keep
+        those rows f32 too (operator/factor consistency is per ROW). Before
+        the segment-aware rounding, the factor rounded ALL rows and the
+        shipped condensed RT configs (which always declare a diag segment for
+        the control-bound rows) retained a small inconsistency."""
+        n = 12
+        extra = rng.normal(size=(8, n))
+        A = np.concatenate([np.diag(1.0 + 0.5 * rng.random(n)), extra])
+        G = rng.normal(size=(n, n))
+        data = QPData(
+            P=jnp.asarray(G @ G.T + 0.1 * np.eye(n), jnp.float32),
+            q=jnp.asarray(rng.normal(size=n), jnp.float32),
+            A=jnp.asarray(A, jnp.float32),
+            l=jnp.asarray(np.full(20, -1.0), jnp.float32),
+            u=jnp.asarray(np.full(20, 1.0), jnp.float32),
+        )
+        segs = (("diag", n), ("dense", 8))
+        f32 = solve(data, config=ADMMConfig(
+            max_iter=400, check_interval=50, adaptive_rho=False,
+            infeas_certs=False, row_structure=segs))
+        tail = solve(data, config=ADMMConfig(
+            max_iter=200, check_interval=50, adaptive_rho=False,
+            infeas_certs=False, row_structure=segs, matvec_dtype="bf16",
+            tail_f32_iters=200))
+        np.testing.assert_allclose(
+            np.asarray(tail.x), np.asarray(f32.x), atol=5e-3)
+        assert float(tail.pri_res) < 1e-3
+
+    def test_non_dividing_check_interval_raises(self, rng):
+        """A (max_iter, check_interval) pair that doesn't divide silently
+        truncates the iteration budget (floor(mi/ci)*ci) — now a hard error."""
+        data = random_qp(rng)
+        with pytest.raises(ValueError, match="multiple of"):
+            solve(data, config=ADMMConfig(max_iter=80, check_interval=50))
+
+    def test_bf16_tail_on_pallas_path_raises(self, rng):
+        """tail_f32_iters only exists on the XLA stream path; the Pallas
+        chunk applies the f32 A in VMEM, so the combination must refuse to
+        run rather than silently skip the tail after cutting the budget."""
+        data = random_qp(rng)
+        with pytest.raises(ValueError, match="Pallas"):
+            solve(data, config=ADMMConfig(
+                max_iter=100, check_interval=50, matvec_dtype="bf16",
+                tail_f32_iters=20, use_pallas="lanes_interpret"))
+
     @pytest.mark.parametrize("seed", [0, 1, 2])
     def test_random_qp_matches_scipy_oracle(self, seed):
         rng = np.random.default_rng(seed)
