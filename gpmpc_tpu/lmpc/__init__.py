@@ -7,6 +7,7 @@ from .lmpc import (
     SimpleLMPC,
     default_stage_cost,
     fly_episode,
+    lmpc_config_6dof,
     lmpc_init,
     lmpc_plan_value,
     lmpc_solve,
@@ -21,6 +22,7 @@ __all__ = [
     "LMPCState",
     "SimpleLMPC",
     "default_stage_cost",
+    "lmpc_config_6dof",
     "lmpc_init",
     "fly_episode",
     "lmpc_plan_value",

@@ -556,12 +556,12 @@ def lmpc_plan_value(
 def default_stage_cost(x: Array, u: Array, x_target: Array, config: LMPCConfig) -> Array:
     e = x - x_target
     quad = e @ config.Q @ e + u @ config.R @ u
-    if config.n_x != 7:
-        # the touchdown gate hardcodes the 3-DoF layout (altitude x[1],
-        # velocity x[4:7]); on any other state layout the shaping indices
-        # would silently price the wrong components — plain quadratic there
-        # (pass a stage_cost_fn to the episode runners to shape custom
-        # layouts)
+    if config.n_x not in (7, 14):
+        # the touchdown gate hardcodes the shared [m, r(3), v(3), …] layout
+        # (altitude x[1], velocity x[4:7]) of BOTH rocket models; on any
+        # other state layout the shaping indices would silently price the
+        # wrong components — plain quadratic there (pass a stage_cost_fn to
+        # the episode runners to shape custom layouts)
         return quad
     gate = jax.nn.sigmoid(
         (config.touchdown_gate_altitude - x[1]) / config.touchdown_gate_width
@@ -570,6 +570,41 @@ def default_stage_cost(x: Array, u: Array, x_target: Array, config: LMPCConfig) 
         0.0, jnp.sum(x[4:7] ** 2) - config.touchdown_free_speed**2
     )
     return quad + config.touchdown_speed_weight * gate * excess
+
+
+def lmpc_config_6dof(
+    params=None,
+    N: int = 15,
+    dt: float = 0.1,
+    **overrides,
+) -> LMPCConfig:
+    """LMPC on the full 14-state quaternion model — the reference's primary
+    LMPC formulation (its NLP embeds the symbolic 6-DoF dynamics,
+    ``/root/reference/src/lmpc/lmpc.py:417-470``, with the 3-DoF
+    ``SimpleLMPC`` as the reduced skeleton ``:561-603``). ``lmpc_solve`` is
+    model-generic; this factory supplies the 14-dim pieces: the Szmuk
+    cost weights, the attitude/rate state box, the thrust-annulus ∩
+    gimbal-cone inner control box, and the 6-DoF dry mass. The λ-hull then
+    interpolates 14-dim stored states (quaternion components as vertex
+    coordinates — exact under Σλ=1 near-upright, where the renormalizing
+    step absorbs the O(‖q‖−1) interpolation defect) and the KNN query uses
+    the 14-dim block weights (``local_safe_set.default_state_weights``).
+    """
+    from ..dynamics.rocket6dof import Rocket6DoFParams
+    from ..mpc.cost_functions import CostWeights
+    from ..mpc.rti6dof import control_box_6dof, state_box_6dof
+
+    p = params or Rocket6DoFParams()
+    w = CostWeights()
+    x_min, x_max = state_box_6dof(p)
+    u_min, u_max = control_box_6dof(p)
+    return LMPCConfig(
+        N=N, dt=dt, n_x=14, n_u=3,
+        Q=w.Q_6dof(), R=w.R(3),
+        x_min=x_min, x_max=x_max, u_min=u_min, u_max=u_max,
+        m_dry=p.m_dry,
+        **overrides,
+    )
 
 
 def fly_episode(

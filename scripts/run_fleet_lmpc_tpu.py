@@ -68,6 +68,36 @@ def seed_trajectory(jax, jnp, p, step, xT, cfg, n_steps=200):
     return x0, X, U, C
 
 
+def seed_trajectory_6dof(jax, jnp, p, step, xT, cfg, n_steps=150):
+    """Quaternion-model seed: one RTI-flown (suboptimal, reference-tracked)
+    landing — the 14-state bootstrap the descent law can't provide (lateral
+    thrust torques need closed-loop attitude stabilization)."""
+    from gpmpc_tpu.dynamics import rocket6dof as r6
+    from gpmpc_tpu.lmpc import default_stage_cost
+    from gpmpc_tpu.mpc import rti_config_6dof
+    from gpmpc_tpu.mpc.rti import rti_closed_loop
+    from gpmpc_tpu.ops.qp import ADMMConfig
+    from gpmpc_tpu.reference import cubic_descent_reference, pad_reference
+
+    rcfg = rti_config_6dof(
+        p, N=15,
+        admm=ADMMConfig(max_iter=100, polish=False, adaptive_rho=False,
+                        scaling=3),
+    ).replace(accept_pri_tol=1e-2, condensed=True)
+    x0 = r6.create_initial_state(
+        p, altitude=12.0, horizontal=(0.5, -0.3),
+        velocity=(-1.5, 0.05, 0.0))
+    ref = pad_reference(
+        cubic_descent_reference(x0, xT, 100, rcfg.dt),
+        n_steps + rcfg.N + 1)
+    res = rti_closed_loop(step, rcfg, x0, xT, n_steps, X_ref_full=ref)
+    assert bool(res["landed"]), "6-DoF seed flight must land"
+    n_live = int(res["steps"])
+    X, U = res["X"][:n_live], res["U"][:n_live]
+    C = jax.vmap(lambda x, u: default_stage_cost(x, u, xT, cfg))(X, U)
+    return x0, X, U, C
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=256)
@@ -126,6 +156,11 @@ def main() -> int:
                          "pair with a small --capacity to exercise "
                          "saturation). Default: none (ring-buffer FIFO "
                          "overwrite on insert).")
+    ap.add_argument("--model", choices=["3dof", "6dof"], default="3dof",
+                    help="6dof: LMPC on the full 14-state quaternion model "
+                         "(lmpc_config_6dof) — the reference's primary LMPC "
+                         "formulation (lmpc.py:417-470); seeded by one "
+                         "RTI-flown landing, 14-dim λ-hull + weighted KNN")
     ap.add_argument("--out", type=str, default=None)
     ap.add_argument("--checkpoint", type=str, default=None,
                     help="directory for between-round checkpoints (safe set "
@@ -161,11 +196,10 @@ def main() -> int:
     import jax.numpy as jnp
 
     from gpmpc_tpu.dynamics import Rocket3DoFParams, rocket3dof as r3
-    from gpmpc_tpu.lmpc import LMPCConfig, fly_episode
+    from gpmpc_tpu.lmpc import LMPCConfig, fly_episode, lmpc_config_6dof
     from gpmpc_tpu.terminal import SafeSet
 
-    p = Rocket3DoFParams()
-    cfg = LMPCConfig(
+    knobs = dict(
         solver=args.solver,
         touchdown_speed_weight=args.touchdown_weight,
         candidate_pool=args.pool,
@@ -173,24 +207,41 @@ def main() -> int:
         hull_same_trajectory=args.same_traj,
         vertex_memory=args.vertex_memory,
     )
-    xT = jnp.zeros(7).at[0].set(2.0)
-    step = lambda x, u: r3.step(p, x, u, cfg.dt)
+    if args.model == "6dof":
+        from gpmpc_tpu.dynamics import Rocket6DoFParams, rocket6dof as r6
 
-    x0_seed, Xs, Us, Cs = seed_trajectory(jax, jnp, p, step, xT, cfg)
+        p = Rocket6DoFParams()
+        cfg = lmpc_config_6dof(p, **knobs)
+        n_x = 14
+        xT = r6.create_initial_state(p, altitude=0.0)
+        step = lambda x, u: r6.step(p, x, u, cfg.dt)
+        x0_seed, Xs, Us, Cs = seed_trajectory_6dof(jax, jnp, p, step, xT, cfg)
+        # disperse altitude/horizontal/velocity; identity attitude, zero
+        # rates (the regime the seed covers)
+        pert_scale = jnp.zeros(14).at[1].set(1.5).at[2].set(0.4).at[3].set(
+            0.4).at[4].set(0.25).at[5].set(0.05).at[6].set(0.05)
+    else:
+        p = Rocket3DoFParams()
+        cfg = LMPCConfig(**knobs)
+        n_x = 7
+        xT = jnp.zeros(7).at[0].set(2.0)
+        step = lambda x, u: r3.step(p, x, u, cfg.dt)
+        x0_seed, Xs, Us, Cs = seed_trajectory(jax, jnp, p, step, xT, cfg)
+        pert_scale = jnp.array([0.0, 2.0, 0.5, 0.5, 0.3, 0.1, 0.1])
     seed_cost = float(jnp.sum(Cs))
 
     cap = args.capacity or (
         1 << (args.batch * (args.steps + 1) * args.rounds + Xs.shape[0]
               ).bit_length()
     )
-    ss = SafeSet.create(cap, 7)
+    ss = SafeSet.create(cap, n_x)
     ss = ss.add_trajectory(Xs, Us, Cs)
 
     # dispersed fleet; lane 0 is the probe at the exact seed IC
     key = jax.random.PRNGKey(0)
     pert = jax.random.uniform(
-        key, (args.batch, 7), minval=-1.0, maxval=1.0
-    ) * jnp.array([0.0, 2.0, 0.5, 0.5, 0.3, 0.1, 0.1])
+        key, (args.batch, n_x), minval=-1.0, maxval=1.0
+    ) * pert_scale
     x0s = (x0_seed[None] + pert).at[0].set(x0_seed)
 
     fly = jax.jit(
@@ -234,7 +285,7 @@ def main() -> int:
             # was built — see the top of main)
             cap = json.loads(meta_file.read_text())["capacity"]
             if cap != ss.capacity:
-                ss = SafeSet.create(cap, 7)
+                ss = SafeSet.create(cap, n_x)
                 ss = ss.add_trajectory(Xs, Us, Cs)
         else:
             meta_file.parent.mkdir(parents=True, exist_ok=True)
@@ -327,7 +378,7 @@ def main() -> int:
     wall = time.time() - t_start
     rounds_run = args.rounds - first_round  # throughput = this run only
     result = {
-        "campaign": "fleet_lmpc_3dof",
+        "campaign": f"fleet_lmpc_{args.model}",
         "controller": "LMPC (condensed hull QP, fuel-filtered KNN terminal set)",
         "solver": args.solver,
         "touchdown_speed_weight": args.touchdown_weight,

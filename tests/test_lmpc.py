@@ -315,3 +315,89 @@ class TestLMPCSolve:
         assert all(c < seed_plain * 0.9 for c in plains), (plains, seed_plain)
         # ...and performance is stable across iterations (no drift blowup)
         assert plains[-1] <= plains[0] * 1.10, plains
+
+
+@pytest.fixture(scope="module")
+def seeded6():
+    """6-DoF safe set seeded with one RTI-flown landing — the quaternion
+    LMPC bootstrap (the reference's LMPC is formulated on the 6-DoF model,
+    lmpc.py:417-470; here the model-generic lmpc_solve is instantiated at
+    n_x=14 via lmpc_config_6dof)."""
+    from gpmpc_tpu.dynamics import Rocket6DoFParams, rocket6dof as r6
+    from gpmpc_tpu.lmpc import lmpc_config_6dof
+    from gpmpc_tpu.mpc import rti_config_6dof
+    from gpmpc_tpu.mpc.rti import rti_closed_loop
+    from gpmpc_tpu.ops.qp import ADMMConfig
+    from gpmpc_tpu.reference import cubic_descent_reference, pad_reference
+
+    p = Rocket6DoFParams()
+    step = lambda x, u: r6.step(p, x, u, DT)
+    xT = r6.create_initial_state(p, altitude=0.0)
+    cfg = lmpc_config_6dof(p)
+
+    rcfg = rti_config_6dof(
+        p, N=15,
+        admm=ADMMConfig(max_iter=100, polish=False, adaptive_rho=False,
+                        scaling=3),
+    ).replace(accept_pri_tol=1e-2, condensed=True)
+    x0 = r6.create_initial_state(
+        p, altitude=12.0, horizontal=(0.5, -0.3), velocity=(-1.5, 0.05, 0.0))
+    steps = 140
+    ref = pad_reference(
+        cubic_descent_reference(x0, xT, 100, DT), steps + rcfg.N + 1)
+    res = rti_closed_loop(step, rcfg, x0, xT, steps, X_ref_full=ref)
+    assert bool(res["landed"]), "seed flight must land"
+    n_live = int(res["steps"])
+    X = res["X"][:n_live]
+    U = res["U"][:n_live]
+    from gpmpc_tpu.lmpc import default_stage_cost
+
+    C = jax.vmap(lambda x, u: default_stage_cost(x, u, xT, cfg))(X, U)
+    ss = SafeSet.create(2048, 14)
+    ss = ss.add_trajectory(X, U, C)
+    return p, step, xT, cfg, ss, (X, U, C)
+
+
+class TestLMPC6DoF:
+    def test_config_factory(self, seeded6):
+        p, step, xT, cfg, ss, _ = seeded6
+        assert cfg.n_x == 14 and cfg.Q.shape == (14, 14)
+        assert ss.states.shape[1] == 14
+
+    def test_single_solve_14dim_hull(self, seeded6):
+        """One quaternion-state LMPC solve: λ on the simplex over 14-dim
+        stored vertices, small hull slack, thrust box held."""
+        from gpmpc_tpu.lmpc import lmpc_init, lmpc_solve
+
+        p, step, xT, cfg, ss, (X, U, C) = seeded6
+        x0 = X[0]
+        st = lmpc_init(cfg, x0, xT)
+        st = st.replace(X_lin=X[: cfg.N + 1], U_lin=U[: cfg.N])
+        sol, st2 = jax.jit(
+            lambda s, st_, x: lmpc_solve(step, cfg, s, st_, x)
+        )(ss, st, x0)
+        assert bool(sol.success), (int(sol.qp_status), float(sol.qp_pri_res))
+        np.testing.assert_allclose(float(sol.lam.sum()), 1.0, atol=5e-2)
+        assert float(sol.lam.min()) >= -1e-3
+        assert float(sol.slack_norm) < 0.5
+        assert float(sol.U_opt[:, 0].min()) >= cfg.u_min[0] - 1e-3
+        # the planned terminal attitude stays a near-unit quaternion (the
+        # λ-interpolation defect the renormalizing step must absorb)
+        qn = float(jnp.linalg.norm(sol.X_opt[-1, 7:11]))
+        assert 0.9 < qn < 1.1, qn
+
+    @pytest.mark.slow
+    def test_episode_lands_and_grows_set(self, seeded6):
+        """Closed-loop 6-DoF LMPC episode: lands softly against the frozen
+        seed set and its trajectory joins the safe set."""
+        from gpmpc_tpu.lmpc import run_episode
+
+        p, step, xT, cfg, ss, (X, U, C) = seeded6
+        n_before = int(ss.count)
+        out, ss2 = jax.jit(
+            lambda s, x: run_episode(step, cfg, s, x, xT, 160)
+        )(ss, X[0])
+        assert bool(out["landed"]) and bool(out["success"])
+        assert float(jnp.linalg.norm(out["x_final"][4:7])) < 2.0
+        assert int(ss2.count) > n_before
+        assert float(out["qp_success_rate"]) >= 0.5
