@@ -66,7 +66,7 @@ def main():
     SOLVER = sys.argv[3] if len(sys.argv) > 3 else "admm"
     if SOLVER not in ("admm", "ipm"):
         raise SystemExit(f"unknown solver {SOLVER!r}: use 'admm' or 'ipm'")
-    N_WINDOWS = 4
+    N_WINDOWS = 5  # >=5 timed windows so the flagship carries a variance band
     SCP_ITERS = 1  # real-time iteration; see module docstring
 
     p = Rocket3DoFParams()
@@ -110,14 +110,24 @@ def main():
     x0s = jnp.tile(jnp.array([2.0, 30.0, 0.0, 0.0, -3.0, 0.0, 0.0]), (BATCH, 1))
     x0s = x0s.at[:, 1].add(jnp.linspace(0.0, 5.0, BATCH))
 
-    def timed_window(window, states, xs):
+    def timed_window_var(window, states, xs):
+        """(mean ms/cycle, std over the N_WINDOWS per-window means) — the
+        variance band VERDICT r4 item 10 asked for, so a ±4% wobble between
+        rounds stops reading as progress/regression."""
         s, x, alt = window(states, xs)
         _ = float(jax.device_get(alt))  # compile + warm
-        t0 = time.time()
+        per = []
         for _i in range(N_WINDOWS):
+            t0 = time.time()
             s, x, alt = window(s, x)
             _ = float(jax.device_get(alt))  # force each window to finish
-        return (time.time() - t0) / (STEPS * N_WINDOWS) * 1e3  # ms/cycle
+            per.append((time.time() - t0) / STEPS * 1e3)
+        mean = sum(per) / len(per)
+        std = (sum((v - mean) ** 2 for v in per) / (len(per) - 1)) ** 0.5
+        return mean, std, per
+
+    def timed_window(window, states, xs):
+        return timed_window_var(window, states, xs)[0]
 
     # ---- GP-MPC (primary) ----------------------------------------------------
     gp_states = jax.vmap(lambda x: gp_mpc_init(gp_cfg, x, xT))(x0s)
@@ -135,9 +145,15 @@ def main():
         (states, xs), _ = jax.lax.scan(body, (states, xs), None, length=STEPS)
         return states, xs, jnp.mean(xs[:, 1])
 
-    gp_cycle_ms = timed_window(gp_window, gp_states, x0s)
+    gp_cycle_ms, gp_cycle_std, gp_cycle_per = timed_window_var(
+        gp_window, gp_states, x0s)
     n_chips = len(jax.devices())
     gp_sps_chip = BATCH * 1000.0 / gp_cycle_ms / n_chips
+    # solves/s std propagated from the per-window cycle times
+    gp_sps_per = [BATCH * 1000.0 / v / n_chips for v in gp_cycle_per]
+    gp_sps_mean = sum(gp_sps_per) / len(gp_sps_per)
+    gp_sps_std = (sum((v - gp_sps_mean) ** 2 for v in gp_sps_per)
+                  / (len(gp_sps_per) - 1)) ** 0.5
 
     # ---- RTI (secondary) -----------------------------------------------------
     rti_states = jax.vmap(lambda x: rti_init(rti_cfg, x, xT))(x0s)
@@ -273,6 +289,63 @@ def main():
         _ = float(jax.device_get(alt))
     online_cycle_ms = (time.time() - t0) / (STEPS * N_WINDOWS) * 1e3
 
+    # ---- 6-DoF quaternion GP-MPC cycle (the reference's FLAGSHIP model —
+    # nominal_mpc.py:151-261 — against the same 20 ms/50 Hz budget,
+    # osqp_rti.py:10-14). Exact run_campaign_tpu --model 6dof --rt solver
+    # config: 1 SCP iter + rollout tape + the full 100-iteration ADMM
+    # budget at check_interval=50, with the translation bound rows elided
+    # (their loose envelopes are HALF the condensed constraint stream and
+    # cannot bind in a descent — campaign quality parity verified).
+    from gpmpc_tpu.dynamics import Rocket6DoFParams, rocket6dof as r6
+    from gpmpc_tpu.learning import pretrain_gp_6dof
+    from gpmpc_tpu.mpc import rti_config_6dof
+
+    p6 = Rocket6DoFParams()
+    p6_true = p6.replace(rho=0.8, C_A=0.05 * jnp.eye(3))
+    F6 = lambda x, u: r6.step(p6, x, u, dt)
+    wind6 = jnp.zeros(14).at[5].set(0.10).at[6].set(0.06)
+    F6_true = lambda x, u: r6.step(p6_true, x, u, dt) + dt * wind6
+    xT6 = r6.create_initial_state(p6, altitude=0.0)
+    _, mean6, var6 = pretrain_gp_6dof(
+        jax.random.PRNGKey(42), p6, F6_true, n_episodes=4)
+    base6 = rti_config_6dof(
+        p6, N=N,
+        admm=ADMMConfig(max_iter=100, check_interval=50, polish=False,
+                        adaptive_rho=False, scaling=2, use_pallas="off",
+                        infeas_certs=False, iter_unroll=25),
+        bound_translation=False,
+    ).replace(accept_pri_tol=1e-2, condensed=True)
+    gp6_cfg = GPMPCConfig(base=base6, scp_iterations=SCP_ITERS, tighten=True,
+                          rollout_gp_tape=True)
+    if SOLVER == "ipm":
+        gp6_cfg = gp6_cfg.replace(
+            base=gp6_cfg.base.replace(solver="ipm", ipm_iters=10))
+    x0s6 = jax.vmap(
+        lambda k: r6.create_initial_state(
+            p6,
+            altitude=15.0 + 2.0 * jax.random.normal(k),
+            velocity=(-2.0, 0.1, 0.0),
+        )
+    )(jax.random.split(jax.random.PRNGKey(7), BATCH))
+    gp6_states = jax.vmap(lambda x: gp_mpc_init(gp6_cfg, x, xT6))(x0s6)
+
+    @jax.jit
+    def gp6_window(states, xs):
+        def body(carry, _):
+            states, xs = carry
+            sols, states = jax.vmap(
+                lambda s, x: gp_mpc_solve(F6, mean6, var6, gp6_cfg, s, x)
+            )(states, xs)
+            xs = jax.vmap(F6_true)(xs, sols.u0)
+            return (states, xs), None
+
+        (states, xs), _ = jax.lax.scan(body, (states, xs), None, length=STEPS)
+        return states, xs, jnp.mean(xs[:, 1])
+
+    gp6_cycle_ms, gp6_cycle_std, _ = timed_window_var(
+        gp6_window, gp6_states, x0s6)
+    gp6_sps_chip = BATCH * 1000.0 / gp6_cycle_ms / n_chips
+
     result = {
         "metric": (
             f"GP-MPC solves/sec/chip (N={N}, batch={BATCH}, {SCP_ITERS} SCP "
@@ -280,6 +353,10 @@ def main():
             f"chance tightening, condensed QP [{SOLVER}], incl. plant step)"
         ),
         "value": round(gp_sps_chip, 1),
+        # ± band over the N_WINDOWS timed windows (VERDICT r4 item 10: the
+        # 38.9k/39.9k/40.3k wobble needs an error bar before it means
+        # anything)
+        "value_std": round(gp_sps_std, 1),
         "unit": "solves/s/chip",
         "vs_baseline": round(gp_sps_chip / 50.0, 2),
         "detail": {
@@ -291,8 +368,18 @@ def main():
                 "GPMPC_BENCH_CPU_FALLBACK") == "1",
             "solver": SOLVER,
             "batch": BATCH,
+            "n_timed_windows": N_WINDOWS,
             "gp_mpc_cycle_wall_ms": round(gp_cycle_ms, 2),
+            "gp_mpc_cycle_wall_ms_std": round(gp_cycle_std, 3),
             "gp_mpc_meets_50hz_in_lockstep": gp_cycle_ms < 20.0,
+            # the reference's FLAGSHIP model: the 14-state quaternion rocket
+            # (nominal_mpc.py:151-261) on the same budget — certified here
+            # so the flagship number can never silently regress (VERDICT r4
+            # item 2)
+            "gp_mpc_6dof_cycle_wall_ms": round(gp6_cycle_ms, 2),
+            "gp_mpc_6dof_cycle_wall_ms_std": round(gp6_cycle_std, 3),
+            "gp_mpc_6dof_meets_50hz_in_lockstep": gp6_cycle_ms < 20.0,
+            "gp_mpc_6dof_solves_per_sec_chip": round(gp6_sps_chip, 1),
             "rti_solves_per_sec_chip": round(rti_sps_chip, 1),
             "rti_cycle_wall_ms": round(rti_cycle_ms, 2),
             "rti_meets_50hz_in_lockstep": rti_cycle_ms < 20.0,
