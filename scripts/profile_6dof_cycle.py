@@ -223,6 +223,7 @@ def build_only(carry):
             Aks, Bks, cks, x, base.Q, base.R, base.Qf, s.x_ref,
             base.x_min, base.x_max, base.u_min, base.u_max,
             base.Gx, base.gx_l, base.gx_u, base.Gu, base.gu_l, base.gu_u,
+            x_bound_mask=base.x_bound_mask,
         )
         return data
 
@@ -240,6 +241,7 @@ def prep(s, x):
         Aks, Bks, cks, x, base.Q, base.R, base.Qf, s.x_ref,
         base.x_min, base.x_max, base.u_min, base.u_max,
         base.Gx, base.gx_l, base.gx_u, base.Gu, base.gu_l, base.gu_u,
+        x_bound_mask=base.x_bound_mask,
     )
     return data
 

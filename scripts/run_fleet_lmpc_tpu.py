@@ -319,6 +319,7 @@ def main() -> int:
         out = jax.tree.map(lambda *xs: jnp.concatenate(xs), *outs)
         ss = add_many(ss, out["X"], out["U"], out["costs"], out["success"])
         pruned_to = None
+        probe_verts_survived = None
         if args.prune is not None:
             from gpmpc_tpu.terminal import prune as prune_ss
 
@@ -329,6 +330,13 @@ def main() -> int:
                     # the strategy string is baked into the traced program
                 )(ss)
                 pruned_to = int(jax.device_get(ss.count))
+                if args.vertex_memory:
+                    # vertex-survival accounting: did the probe's carried
+                    # terminal vertices outlive the prune? (a pruned-away
+                    # hull is exactly how a prune hurts the NEXT round)
+                    pv = jax.device_get(probe_verts)
+                    alive = jax.device_get(ss.traj_ids)[pv.clip(min=0)] >= 0
+                    probe_verts_survived = int((alive & (pv >= 0)).sum())
         n_traj = int(jax.device_get(ss.n_trajectories))
         dt_round = time.time() - t0
         summary = {
@@ -364,6 +372,7 @@ def main() -> int:
             "safe_set_trajectories": n_traj,
             "safe_set_states": int(jax.device_get(ss.count)),
             "pruned_to": pruned_to,
+            "probe_verts_survived_prune": probe_verts_survived,
             "wall_s": round(dt_round, 1),
             "lmpc_cycles_per_s": round(
                 args.batch * args.steps / dt_round, 1),
@@ -407,6 +416,28 @@ def main() -> int:
                 [s["probe_plan_value"] for s in rounds][1:],
             )
         ),
+        # post-prune recovery (VERDICT r4 item 6): for every prune event
+        # after round k, the round flown against the PRUNED set (k+1) must
+        # keep its probe cost within 5% of round k's — a prune that buys
+        # memory by giving back landing quality is not a win
+        "prune_events": [
+            {
+                "after_round": s["round"],
+                "pruned_to": s["pruned_to"],
+                "probe_verts_survived": s.get("probe_verts_survived_prune"),
+                "probe_cost_pre": s["probe_lane_cost"],
+                "probe_cost_post": rounds[i + 1]["probe_lane_cost"]
+                if i + 1 < len(rounds) else None,
+                "touchdown_pre": s["touchdown_speed_mean"],
+                "touchdown_post": rounds[i + 1]["touchdown_speed_mean"]
+                if i + 1 < len(rounds) else None,
+                "recovered_within_5pct": (
+                    rounds[i + 1]["probe_lane_cost"]
+                    <= s["probe_lane_cost"] * 1.05
+                    if i + 1 < len(rounds) else None),
+            }
+            for i, s in enumerate(rounds) if s["pruned_to"] is not None
+        ],
         "final_success_rate": rounds[-1]["success_rate"],
         "episodes_flown": args.batch * len(rounds),
         # None when a completed campaign is re-invoked (nothing flown this
@@ -423,6 +454,10 @@ def main() -> int:
     if args.out:
         Path(args.out).write_text(json.dumps(result, indent=1))
     ok = result["probe_improves_on_seed"] and result["final_success_rate"] > 0.9
+    # tightened prune gate: every completed prune event must recover
+    ok = ok and all(
+        ev["recovered_within_5pct"] is not False
+        for ev in result["prune_events"])
     print("FLEET LMPC:", "PASS" if ok else "FAIL")
     return 0 if ok else 1
 

@@ -257,6 +257,7 @@ class TestSCVX:
         # fuel is physical
         assert 0 < float(sol.fuel_used) < 1.0
 
+    @pytest.mark.slow  # demoted from the default tier (r5: <300 s budget)
     def test_free_time_picks_converged(self, p3):
         step_dt = lambda x, u, dt: r3.step(p3, x, u, dt)
         cfg = SCVXConfig(N=40, iterations=6)
@@ -303,6 +304,7 @@ class TestSCVX:
         assert abs(float(sol.fuel_used) - fuel_star) / fuel_star < 0.05, (
             float(sol.fuel_used), fuel_star)
 
+    @pytest.mark.slow  # demoted from the default tier (r5: <300 s budget)
     def test_glideslope_facets_in_subproblems(self, p3):
         """SCVX with glideslope facet rows: planned path stays inside the
         cone (with the vertex offset) and still reaches the target."""
@@ -387,6 +389,7 @@ class TestUtils:
         assert cfg["safety_config"].after_max == "continue"
         assert cfg["gp_config"].signal_variance == 1.0
 
+    @pytest.mark.slow  # demoted from the default tier (r5: <300 s budget)
     def test_config_loader_widened_knobs(self, tmp_path):
         """Every widened YAML knob reaches its dataclass field and a fixed
         ARD lengthscale init actually lands in the fitted kernel."""

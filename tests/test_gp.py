@@ -126,6 +126,7 @@ class TestExactGP:
         # sklearn return_std is the latent-f std (no observation noise)
         np.testing.assert_allclose(np.sqrt(np.asarray(pr.variance)), std_ref, atol=2e-2)
 
+    @pytest.mark.slow  # demoted from the default tier (r5: <300 s budget)
     def test_masked_padding_equivalence(self, rng):
         """A capacity-padded fit must equal the unpadded one exactly."""
         X, y = toy_data(rng, n=25)
@@ -180,6 +181,7 @@ class TestExactGP:
 
 
 class TestSparseGP:
+    @pytest.mark.slow  # demoted from the default tier (r5: <300 s budget)
     def test_fitc_close_to_exact_with_many_inducing(self, rng):
         X, y = toy_data(rng, n=60)
         k = SquaredExponentialARD.create(2, lengthscale=1.0)

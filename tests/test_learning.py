@@ -163,6 +163,7 @@ class TestOnlineLearner:
         assert stats["episodes"] == 2
         assert stats["gp_refits"] >= 1
 
+    @pytest.mark.slow  # demoted from the default tier (r5: <300 s budget)
     def test_save_load_roundtrip(self, tmp_path):
         p = Rocket3DoFParams()
         F = lambda x, u: r3.step(p, x, u, DT)

@@ -50,6 +50,7 @@ def seeded():
 
 
 class TestLMPCSolve:
+    @pytest.mark.slow  # demoted from the default tier (r5: <300 s budget)
     def test_single_solve(self, seeded):
         """ADMM arm pinned: warm anchored solves are where the ADMM is
         certified (the IPM default has its own tests below)."""
@@ -70,6 +71,7 @@ class TestLMPCSolve:
         # thrust bounds hold
         assert float(sol.U_opt[:, 0].min()) >= cfg.u_min[0] - 1e-3
 
+    @pytest.mark.slow  # demoted from the default tier (r5: <300 s budget)
     def test_vertex_memory_carries_and_retains(self, seeded):
         """vertex_memory semantics: (a) the solve records its terminal
         vertices in the state; (b) on the next solve a HELD low-Q vertex

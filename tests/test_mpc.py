@@ -304,6 +304,7 @@ class TestStageRows:
                                    atol=1e-5)
         assert A.shape[0] == N * (gx + gu) == l.shape[0] == u.shape[0]
 
+    @pytest.mark.slow  # demoted from the default tier (r5: <300 s budget)
     def test_glideslope_rows_bind_in_rti_plan(self):
         """Track a reference OUTSIDE the glideslope cone: the plan must hug
         the cone (rows bind) instead of following the reference out."""
@@ -366,6 +367,7 @@ class TestStageRows:
         assert float(gim.max()) <= 1e-3
         # and the lateral box is the full T_max·sinδ, not the T_min corner
         assert float(cfg.u_max[1]) > p.T_min * math.sin(p.delta_max)
+    @pytest.mark.slow  # demoted from the default tier (r5: <300 s budget)
     def test_solve_and_closed_loop(self):
         from gpmpc_tpu.mpc import MPCConfig, NominalMPC3DoF
 
@@ -400,6 +402,7 @@ class TestRTIPhases:
         np.testing.assert_allclose(sol_a.u0, sol_b.u0, atol=1e-6)
         np.testing.assert_allclose(st_a.X_prev, st_b.X_prev, atol=1e-6)
 
+    @pytest.mark.slow  # demoted from the default tier (r5: <300 s budget)
     def test_prepare_feedback_carries_warm_kkt(self):
         """Regression: the split phases must carry the NS-refreshed KKT
         inverse like the fused step does — a stale init-time inverse would

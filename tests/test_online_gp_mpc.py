@@ -105,6 +105,7 @@ def test_observes_and_refits_happen(campaign_result):
     assert (acc == pts).all()         # capacity not exceeded here
 
 
+@pytest.mark.slow  # demoted from the default tier (r5: <300 s budget)
 def test_gate_closed_flies_nominal():
     """With the activation gate never opening, the controller must reduce to
     plain (GP-free) behavior — and its model error must NOT fall."""
@@ -121,6 +122,7 @@ def test_gate_closed_flies_nominal():
     assert late > 0.5 * early  # no learning effect on the model in use
 
 
+@pytest.mark.slow  # demoted from the default tier (r5: <300 s budget)
 def test_novelty_gate_rejects_duplicates():
     """Replaying an identical transition must not grow the buffer."""
     from gpmpc_tpu.learning.online_gp_mpc import _observe, init_online_gp

@@ -322,6 +322,7 @@ class TestMPCQP:
         assert abs(float(X[-1, 0])) < 0.3  # bang-bang limit: can close at most ~0.75 of the gap
         check_kkt(data, sol)
 
+    @pytest.mark.slow  # demoted from the default tier (r5: <300 s budget)
     def test_matches_scipy_oracle(self):
         data, (N, n_x, n_u), *_ = self._double_integrator_qp(N=5)
         sol = solve(data, config=ADMMConfig(max_iter=2000, polish=True))

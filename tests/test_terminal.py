@@ -3,6 +3,7 @@ weighted KNN vs brute-force oracle, hull projection/membership, Q-function
 approximators."""
 
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -233,6 +234,7 @@ class TestKNN:
 
 
 class TestConvexHull:
+    @pytest.mark.slow  # demoted from the default tier (r5: <300 s budget)
     def test_projection_inside_and_outside(self):
         # unit square in 2D embedded in 7D
         V = jnp.zeros((4, 7))
