@@ -46,6 +46,16 @@ def main() -> int:
     ap.add_argument("--gust-sigma", type=float, default=0.35,
                     help="std of the injected per-step velocity gust "
                          "[accel units: v += dt*N(0,sigma)]")
+    ap.add_argument("--apply", action="store_true",
+                    help="close the calibration loop (VERDICT r4 item 7): "
+                         "after measuring the quantile-default rows, derive "
+                         "beta = z_target/z(1-realized_upper95) at the "
+                         "highest confidence and RE-FLY that fleet with "
+                         "GPMPCConfig.beta_method='calibrated'. The applied "
+                         "arm must keep realized violation within target "
+                         "while being measurably less conservative (faster "
+                         "descent: fewer steps to land / less fuel / smaller "
+                         "mean margin above the ridden bound).")
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--out", type=str, default=None)
     args = ap.parse_args()
@@ -102,9 +112,12 @@ def main() -> int:
     # tightened bound and the chance machinery is actually load-bearing
     ref_fn = lambda x0: cubic_descent_reference(x0, xT, 42, dt)
 
-    def run_conf(conf: float):
+    def run_conf(conf: float, beta: float = None):
         cfg = GPMPCConfig(base=base, scp_iterations=1, tighten=True,
                           confidence=conf, rollout_gp_tape=True)
+        if beta is not None:
+            cfg = cfg.replace(beta_method="calibrated",
+                              beta_calibration=beta)
         cinit, cstep = make_gp_mpc_controller(
             F, mean_fn, var_fn, cfg, xT, reference_fn=ref_fn,
             ref_horizon=args.steps)
@@ -134,11 +147,19 @@ def main() -> int:
                     & (x_next[4] < args.v_lim + 0.3),
                     "cover": jnp.where(alive & ~frozen, inside.astype(
                         jnp.float32), jnp.nan),
+                    # conservatism observables for the calibrate→apply
+                    # comparison: margin above the ridden bound while the
+                    # bound is live, and airborne-step indicator
+                    "margin": jnp.where(alive & ~frozen,
+                                        x_next[4] - args.v_lim, jnp.nan),
+                    "airborne": ~frozen,
                 }
                 return (x_next, cs, key), stats
 
-            (_, _, _), stats = jax.lax.scan(
+            (xf, _, _), stats = jax.lax.scan(
                 body, (x0, cinit(x0), key), jnp.arange(args.steps))
+            stats["fuel"] = x0[0] - xf[0]
+            stats["landed"] = xf[1] <= 0.1
             return stats
 
         keys = jax.random.split(jax.random.PRNGKey(int(conf * 1e4)),
@@ -148,6 +169,10 @@ def main() -> int:
         n_viol = float(jnp.sum(stats["viol"]))
         n_near = float(jnp.sum(stats["near"]))
         cover = float(jnp.nanmean(stats["cover"]))
+        steps_to_land = float(jnp.mean(jnp.sum(stats["airborne"], axis=1)))
+        fuel_mean = float(jnp.mean(stats["fuel"]))
+        margin_mean = float(jnp.nanmean(stats["margin"]))
+        landed_rate = float(jnp.mean(stats["landed"]))
         rate = n_viol / max(n_active, 1.0)
         target = 1.0 - conf
         # Wilson upper bound on the realized rate
@@ -171,14 +196,22 @@ def main() -> int:
             "coverage_target_two_sided": round(2.0 * conf - 1.0, 4),
             "coverage_calibrated": abs(cover - (2.0 * conf - 1.0)) < 0.05,
             "kappa": round(kappa, 3),
+            "beta_applied": beta,
+            "steps_to_land_mean": round(steps_to_land, 2),
+            "fuel_used_mean": round(fuel_mean, 4),
+            "bound_margin_mean": round(margin_mean, 4),
+            "landed_rate": round(landed_rate, 4),
         }
-        if rate > target and rate > 0:
-            # σ underestimated: recommend the multiplier that would have
-            # matched the target (Gaussian-margin arithmetic)
-            z_real = float(normal_quantile(jnp.asarray(1.0 - rate)))
-            z_tgt = float(normal_quantile(jnp.asarray(conf)))
-            out["recommended_beta_calibration"] = round(
-                z_tgt / max(z_real, 1e-3), 3)
+        # recommended multiplier, ALWAYS derived (Gaussian-margin
+        # arithmetic against the Wilson upper bound, so the recommendation
+        # keeps realized violation <= target with 95% confidence even when
+        # the point rate is 0): beta > 1 when sigma is underestimated,
+        # beta < 1 when the quantile default is measurably overconservative
+        z_tgt = float(normal_quantile(jnp.asarray(conf)))
+        z_real = float(normal_quantile(jnp.asarray(
+            max(1.0 - max(upper, 1e-6), 0.5))))
+        out["recommended_beta_calibration"] = round(
+            max(z_tgt / max(z_real, 1e-3), 0.3), 3)
         return out
 
     t0 = time.time()
@@ -188,6 +221,43 @@ def main() -> int:
         print(json.dumps(r))
     monotone = all(a["realized_violation"] >= b["realized_violation"] - 5e-3
                    for a, b in zip(rows, rows[1:]))
+
+    applied = None
+    if args.apply:
+        # close the loop at the HIGHEST confidence level (the production
+        # one): re-fly the identical fleet with the measured multiplier
+        base_row = rows[-1]
+        beta = base_row["recommended_beta_calibration"]
+        t1 = time.time()
+        applied_row = run_conf(base_row["confidence"], beta=beta)
+        apply_wall = time.time() - t1
+        print(json.dumps(applied_row))
+        applied = {
+            "beta_calibration": beta,
+            "quantile_row": base_row,
+            "calibrated_row": applied_row,
+            # the claim under test: violation still within target...
+            "violation_within_target": applied_row["calibrated"],
+            # ...with measurably less conservatism on at least one axis
+            "steps_to_land_delta": round(
+                applied_row["steps_to_land_mean"]
+                - base_row["steps_to_land_mean"], 2),
+            "fuel_delta": round(
+                applied_row["fuel_used_mean"]
+                - base_row["fuel_used_mean"], 4),
+            "bound_margin_delta": round(
+                applied_row["bound_margin_mean"]
+                - base_row["bound_margin_mean"], 4),
+            "less_conservative": (
+                applied_row["steps_to_land_mean"]
+                < base_row["steps_to_land_mean"] - 1e-9
+                or applied_row["fuel_used_mean"]
+                < base_row["fuel_used_mean"] - 1e-9
+                or applied_row["bound_margin_mean"]
+                < base_row["bound_margin_mean"] - 1e-9),
+            "wall_s": round(apply_wall, 1),
+        }
+
     result = {
         "campaign": "chance_constraint_calibration",
         "batch": args.batch,
@@ -199,6 +269,7 @@ def main() -> int:
         "violation_monotone_in_confidence": monotone,
         "all_calibrated": all(r["calibrated"] for r in rows),
         "all_coverage_calibrated": all(r["coverage_calibrated"] for r in rows),
+        "beta_applied": applied,
         "wall_s": round(wall, 1),
     }
     print(json.dumps(result))
@@ -206,6 +277,9 @@ def main() -> int:
         Path(args.out).write_text(json.dumps(result, indent=1))
     ok = (result["all_calibrated"] and monotone
           and result["all_coverage_calibrated"])
+    if applied is not None:
+        ok = ok and applied["violation_within_target"] \
+            and applied["less_conservative"]
     print("CALIBRATION:", "PASS" if ok else "FAIL")
     return 0 if ok else 1
 
