@@ -153,6 +153,49 @@ class SafeSet:
         return jax.tree.unflatten(treedef, leaves)
 
 
+def trim(ss: SafeSet, size: int) -> SafeSet:
+    """Prefix view of the leading ``size`` slots — the frozen-set KNN
+    bucket.
+
+    The per-solve KNN (``local_safe_set.knn_query``) brute-force streams the
+    FULL static capacity every query, so a campaign sized for end-state
+    growth pays its final capacity from round 1 (measured: doubling capacity
+    1M → 2M doubled the 1024-lane fleet round wall 40 → 82 s — the whole
+    round-4 "vertex-memory throughput regression" was this, not the vertex
+    bookkeeping). Within a fleet round the set is frozen, so queries can run
+    against the smallest power-of-two prefix that covers every written slot.
+
+    Valid whenever ``head ≤ size`` (no ring wraparound past the bucket):
+    inserts are prefix-contiguous, so every row ever written — including
+    actives left scattered by an in-place prune — lives in ``[0, size)``,
+    and rows ≥ head carry ``traj_id = −1`` (masked). Returned KNN indices
+    are prefix indices and therefore remain valid against the full set
+    (vertex memory carries them across rounds as buckets grow). The caller
+    asserts the head bound (see ``run_fleet_lmpc_tpu``).
+    """
+    return ss.replace(
+        states=ss.states[:size],
+        q_values=ss.q_values[:size],
+        controls=ss.controls[:size],
+        iterations=ss.iterations[:size],
+        fuel_required=ss.fuel_required[:size],
+        traj_ids=ss.traj_ids[:size],
+    )
+
+
+def knn_bucket(head: int, capacity: int, floor: int = 4096) -> int:
+    """Smallest power-of-FOUR ≥ head (≥ floor, ≤ capacity). Powers of four
+    (not two) because every new bucket is a new program shape: on the
+    tunneled TPU a fleet recompile costs tens of seconds, so halving the
+    number of shapes is worth the ≤4× bucket overshoot (still ≥8× under a
+    campaign-sized capacity in early rounds)."""
+    b = max(int(floor), 1)
+    h = max(int(head), 1)
+    while b < h:
+        b <<= 2
+    return min(b, capacity)
+
+
 def prune_quality(ss: SafeSet, keep: int) -> SafeSet:
     """Keep the ``keep`` lowest-Q states (quality pruning,
     ``memory_safe_set.py:218-248``): marks the rest inactive."""

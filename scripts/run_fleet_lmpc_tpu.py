@@ -302,18 +302,29 @@ def main() -> int:
             first_round = done_rounds
             print(f"resumed after round {done_rounds} "
                   f"({int(jax.device_get(ss.n_trajectories))} trajectories)")
+    from gpmpc_tpu.terminal import knn_bucket, trim
+
     t_start = time.time()
     for r in range(first_round, args.rounds):
         t0 = time.time()
+        # frozen-set KNN bucket (see terminal.safe_set.trim): the round's
+        # queries stream the smallest power-of-two prefix covering every
+        # written slot instead of the full end-state capacity — buckets
+        # double, so the fleet recompiles its query program O(log) times
+        # per campaign instead of paying final capacity from round 1
+        hw = int(jax.device_get(ss.head))
+        bucket = knn_bucket(hw, cap)
+        assert hw <= bucket, (hw, bucket)  # no ring wraparound past bucket
+        ss_view = trim(ss, bucket)
         # value estimate BEFORE this round flies; the probe's terminal
         # vertices thread across rounds under --vertex-memory
-        V_probe, _, new_verts = plan_value(ss, probe_verts)
+        V_probe, _, new_verts = plan_value(ss_view, probe_verts)
         V_probe = float(jax.device_get(V_probe))
         if args.vertex_memory:
             probe_verts = new_verts
         outs = []
         for c in range(args.batch // chunk):
-            out = fly(ss, x0s[c * chunk : (c + 1) * chunk])
+            out = fly(ss_view, x0s[c * chunk : (c + 1) * chunk])
             jax.block_until_ready(out["total_cost"])
             outs.append(out)
         out = jax.tree.map(lambda *xs: jnp.concatenate(xs), *outs)
@@ -373,6 +384,7 @@ def main() -> int:
             "safe_set_states": int(jax.device_get(ss.count)),
             "pruned_to": pruned_to,
             "probe_verts_survived_prune": probe_verts_survived,
+            "knn_bucket": bucket,
             "wall_s": round(dt_round, 1),
             "lmpc_cycles_per_s": round(
                 args.batch * args.steps / dt_round, 1),

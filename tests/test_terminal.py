@@ -323,3 +323,71 @@ class TestStreamingSafeSet:
         for i in range(4):
             stream = stream.add(jnp.full(7, float(i)), jnp.zeros(3), jnp.asarray(1.0))
         assert int(stream.safe_set.count) == 4
+
+
+class TestTrimBucket:
+    """Frozen-set KNN bucketing (terminal.safe_set.trim/knn_bucket): the
+    per-solve KNN may stream a power-of-two prefix instead of the full
+    capacity whenever head <= bucket — results must be identical, including
+    after an in-place prune leaves actives scattered below head."""
+
+    def _grown_set(self, cap=512, n_traj=6, T=20):
+        from gpmpc_tpu.terminal import SafeSet
+
+        key = jax.random.PRNGKey(0)
+        ss = SafeSet.create(cap, 7)
+        for i in range(n_traj):
+            key, k1, k2 = jax.random.split(key, 3)
+            X = jax.random.normal(k1, (T, 7))
+            # keep mass/fuel columns physical-ish
+            X = X.at[:, 0].set(1.5 + 0.1 * jax.random.uniform(k2, (T,)))
+            U = jnp.zeros((T, 3))
+            c = jnp.abs(jax.random.normal(k2, (T,))) + 0.1
+            ss = ss.add_trajectory(X, U, c)
+        return ss
+
+    def test_trim_knn_parity(self):
+        from gpmpc_tpu.terminal import knn_bucket, trim
+        from gpmpc_tpu.terminal.local_safe_set import knn_query
+
+        ss = self._grown_set()
+        hw = int(ss.head)
+        bucket = knn_bucket(hw, ss.capacity, floor=32)
+        assert hw <= bucket < ss.capacity  # the trim is a real reduction
+        x = jnp.array([1.6, 0.3, -0.2, 0.1, -0.5, 0.0, 0.2])
+        full = knn_query(ss, x, 8, fuel_available=jnp.asarray(0.5),
+                         fallback_unfiltered=True)
+        view = knn_query(trim(ss, bucket), x, 8,
+                         fuel_available=jnp.asarray(0.5),
+                         fallback_unfiltered=True)
+        np.testing.assert_array_equal(full.indices, view.indices)
+        np.testing.assert_allclose(full.distances, view.distances)
+        np.testing.assert_array_equal(full.valid, view.valid)
+        np.testing.assert_allclose(full.q_values, view.q_values)
+
+    def test_trim_knn_parity_after_prune(self):
+        """Pruning scatters actives in place (head unchanged) — the bucket
+        bound is head, and the trimmed query must still match."""
+        from gpmpc_tpu.terminal import knn_bucket, prune, trim
+        from gpmpc_tpu.terminal.local_safe_set import knn_query
+
+        ss = prune(self._grown_set(), keep=40, strategy="diversity")
+        hw = int(ss.head)
+        assert int(ss.count) < hw  # actives scattered strictly below head
+        bucket = knn_bucket(hw, ss.capacity, floor=32)
+        x = jnp.zeros(7).at[0].set(1.6)
+        full = knn_query(ss, x, 8)
+        view = knn_query(trim(ss, bucket), x, 8)
+        np.testing.assert_array_equal(full.indices, view.indices)
+        np.testing.assert_array_equal(full.valid, view.valid)
+
+    def test_bucket_monotone_and_bounded(self):
+        from gpmpc_tpu.terminal import knn_bucket
+
+        caps = 1 << 21
+        prev = 0
+        for hw in (0, 1, 4095, 4096, 4097, 65536, 2**20 + 1, 2**22):
+            b = knn_bucket(hw, caps)
+            assert b >= min(hw, caps) and b <= caps
+            assert b >= prev or hw <= prev  # monotone in head
+            prev = b
