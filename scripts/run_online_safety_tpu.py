@@ -247,12 +247,22 @@ def main() -> int:
     ints = [r["interventions_mean"] for r in per_ep]
     errs = [r["model_err_mean"] for r in per_ep]
     succ = [r["success_rate"] for r in per_ep]
-    # non-decreasing within the shared-IC binomial CI: episode e's success
-    # may fall below episode 1's by at most 2 binomial standard errors
-    # (the r4 artifact passed `final > 0.95` while success slid 0.992 →
-    # 0.953 — exactly the trend this gate now rejects)
-    se = (max(succ[0] * (1 - succ[0]), 1e-6) / args.batch) ** 0.5
-    success_non_decreasing = all(s >= succ[0] - 2.0 * se for s in succ[1:])
+    # success non-decreasing under the PAIRED test the shared-IC protocol
+    # earns: every lane re-flies the same IC each episode, so episode e vs
+    # episode 1 is a per-lane flip count — McNemar z = (b−c)/√(b+c) with
+    # b = lanes that degraded (success→fail), c = lanes that improved.
+    # (The r4 artifact passed `final > 0.95` while success slid 0.992 →
+    # 0.953 — a real monotone trend this flags. The one-sample-CI gate it
+    # replaces also flagged pure binomial oscillation around a flat mean,
+    # e.g. 0.988 vs 0.975 at 512 lanes with z = 1.4.)
+    succ_mat = np.asarray(res["success"])  # (batch, E)
+    mcnemar = []
+    for e in range(1, args.episodes):
+        b = float(np.sum(succ_mat[:, 0] & ~succ_mat[:, e]))  # degraded
+        c = float(np.sum(~succ_mat[:, 0] & succ_mat[:, e]))  # improved
+        z = (b - c) / max((b + c) ** 0.5, 1.0)
+        mcnemar.append(round(z, 2))
+    success_non_decreasing = all(z < 2.0 for z in mcnemar)
     result = {
         "campaign": "online_gpmpc_safety_gust_3dof",
         "controller": "online GP-MPC (in-loop learning) + funnel safety filter",
@@ -269,6 +279,7 @@ def main() -> int:
         "model_err_by_episode": errs,
         "model_err_decreases": errs[-1] < errs[0],
         "success_by_episode": succ,
+        "success_mcnemar_z_vs_ep1": mcnemar,
         "success_non_decreasing_within_ci": success_non_decreasing,
         "final_success_rate": per_ep[-1]["success_rate"],
         "episodes_flown": args.batch * args.episodes,
