@@ -77,6 +77,10 @@ def build_mpc_config(cfg: Dict[str, Any], gp_raw: Optional[Dict[str, Any]] = Non
         )
     if "R_diag" in cfg:
         kw["R"] = jnp.diag(jnp.asarray(cfg["R_diag"], jnp.float32))
+    if cfg.get("x_bound_mask") is not None:
+        # bound-row elision (the round-5 flagship lever): state components
+        # whose boxes are loose envelopes stop paying condensed Γ rows
+        kw["x_bound_mask"] = tuple(bool(b) for b in cfg["x_bound_mask"])
     base = RTIConfig(
         N=cfg.get("N", 15),
         dt=cfg.get("dt", 0.1),

@@ -382,6 +382,11 @@ class TestUtils:
         assert cfg["mpc_config"].N == 15
         cfg2 = load_experiment_config("config", overrides={"mpc.N": 30})
         assert cfg2["mpc_config"].N == 30
+        # bound-row elision reaches RTIConfig (default yaml: null = all rows)
+        assert cfg["mpc_config"].x_bound_mask is None
+        cfg3 = load_experiment_config(
+            "config", overrides={"mpc.x_bound_mask": [False] * 7})
+        assert cfg3["mpc_config"].x_bound_mask == (False,) * 7
         # widened schema blocks map onto real config objects
         assert cfg["training_config"].method == "mle"
         assert cfg["tube_config"].n_sigma == 2.0
