@@ -38,6 +38,7 @@ from ..ops.qp.ruiz import Scaling, ruiz_equilibrate
 from .rti import (
     RTIConfig,
     _condensed_admm_cfg,
+    _gx_rows,
     _n_bound_states,
     _n_extra_rows,
     _stage_rows,
@@ -245,10 +246,13 @@ def gp_mpc_solve(
         Uhi = jnp.minimum(cfg.u_max[None, :], U_lin + config.trust_region_u)
 
         if cfg.condensed:
+            # per-cycle linearized state rows (smooth-cone SCP treatment)
+            # ride the same iterate the dynamics were linearized around
+            Gx_r, gx_l_r, gx_u_r = _gx_rows(cfg, X_lin)
             data, Gs, ds = build_condensed_qp(
                 Aks, Bks, cks, x0, cfg.Q, cfg.R, cfg.Qf, state.x_ref,
                 Xlo, Xhi, Ulo, Uhi,
-                cfg.Gx, cfg.gx_l, cfg.gx_u, cfg.Gu, cfg.gu_l, cfg.gu_u,
+                Gx_r, gx_l_r, gx_u_r, cfg.Gu, cfg.gu_l, cfg.gu_u,
                 x_bound_mask=cfg.x_bound_mask,
             )
             if cfg.solver == "ipm":
@@ -274,6 +278,10 @@ def gp_mpc_solve(
                 raise ValueError(
                     "solver='ipm' requires the condensed form (the sparse "
                     "z=[X;U] layout interleaves its dynamics equality rows)")
+            if cfg.stage_rows_fn is not None:
+                raise ValueError(
+                    "stage_rows_fn (linearized state rows) requires "
+                    "condensed=True")
             data = build_mpc_qp(
                 Aks, Bks, cks, x0, cfg.Q, cfg.R, cfg.Qf, state.x_ref,
                 Xlo, Xhi, Ulo, Uhi,

@@ -46,9 +46,29 @@ Array = jax.Array
 
 
 def _n_extra_rows(config) -> int:
-    n_gx = 0 if config.Gx is None else config.Gx.shape[0]
+    n_gx = _n_gx_rows(config)
     n_gu = 0 if config.Gu is None else config.Gu.shape[0]
     return config.N * (n_gx + n_gu)
+
+
+def _n_gx_rows(config) -> int:
+    """Per-stage state-row count: constant facet block OR linearized rows."""
+    if config.stage_rows_fn is not None:
+        if config.Gx is not None:
+            raise ValueError(
+                "stage_rows_fn replaces the Gx block — set Gx=None")
+        if config.n_stage_rows <= 0:
+            raise ValueError("stage_rows_fn requires n_stage_rows > 0")
+        return config.n_stage_rows
+    return 0 if config.Gx is None else config.Gx.shape[0]
+
+
+def _gx_rows(config, X_lin):
+    """(Gx, gx_l, gx_u) for the condensed builder: the configured constant
+    block, or the per-cycle linearization around ``X_lin``."""
+    if config.stage_rows_fn is not None:
+        return config.stage_rows_fn(X_lin)
+    return config.Gx, config.gx_l, config.gx_u
 
 
 def _n_bound_states(config) -> int:
@@ -69,6 +89,9 @@ def _stage_rows(config):
 
 def _build_rti_qp(config, Aks, Bks, cks, x_current, x_ref):
     """The LTV QP plus any configured per-stage facet rows."""
+    if config.stage_rows_fn is not None:
+        raise ValueError(
+            "stage_rows_fn (linearized state rows) requires condensed=True")
     data = build_mpc_qp(
         Aks, Bks, cks, x_current,
         config.Q, config.R, config.Qf, x_ref,
@@ -100,8 +123,12 @@ def _condensed_admm_cfg(config):
     if n_b:
         segs.append(("blt", C, s * n_b, s * n_u))
     segs.append(("diag", N * n_u))
-    if config.Gx is not None:
-        segs.append(("blt", C, s * config.Gx.shape[0], s * n_u))
+    n_gx = _n_gx_rows(config)
+    if n_gx:
+        # per-stage linearized rows share the constant facet block's BLT
+        # pattern (row k touches u_0..u_k via Γ) — the declaration is about
+        # sparsity, not values
+        segs.append(("blt", C, s * n_gx, s * n_u))
     if config.Gu is not None:
         # the facet block Gu is stage-constant by construction
         # (build_condensed_qp tiles one Gu over all stages) → stream the
@@ -116,11 +143,12 @@ def _solve_qp(config, state, Aks, Bks, cks, x_current, z0_XU, y0):
     N = config.N
     X0, U0 = z0_XU
     if config.condensed:
+        Gx, gx_l, gx_u = _gx_rows(config, state.X_lin)
         data, Gs, ds = build_condensed_qp(
             Aks, Bks, cks, x_current,
             config.Q, config.R, config.Qf, state.x_ref,
             config.x_min, config.x_max, config.u_min, config.u_max,
-            config.Gx, config.gx_l, config.gx_u,
+            Gx, gx_l, gx_u,
             config.Gu, config.gu_l, config.gu_u,
             x_bound_mask=config.x_bound_mask,
         )
@@ -274,6 +302,22 @@ class RTIConfig:
     x_bound_mask: Optional[tuple] = struct.field(
         pytree_node=False, default=None
     )
+    # per-cycle LINEARIZED state rows (condensed form only): a static
+    # callable ``fn(X_lin) -> (Gx, gx_l, gx_u)`` with Gx (N, n_gx, n_x)
+    # and bounds (N, n_gx) (or broadcastable), re-evaluated at every solve
+    # around the current linearization trajectory — the SCP treatment of a
+    # SMOOTH nonlinear path constraint (the reference hands these to IPOPT
+    # symbolically, ``constraints.py:198-419``; here the constraint rides
+    # the same per-cycle linearization as the dynamics). One row per stage
+    # replaces an n-facet inner polyhedral approximation — n× fewer rows in
+    # the ADMM's dominant BLT stream, and exact (to first order) instead of
+    # conservative. ``n_stage_rows`` must state n_gx (static row
+    # accounting). Mutually exclusive with constant ``Gx`` rows (the fn
+    # REPLACES the Gx block; constant Gu facet rows still compose).
+    stage_rows_fn: Optional[Callable] = struct.field(
+        pytree_node=False, default=None
+    )
+    n_stage_rows: int = struct.field(pytree_node=False, default=0)
 
 
 @struct.dataclass
@@ -353,12 +397,13 @@ def rti_init(
             X_fact = X_lin
         Aks, Bks, cks = trajectory_jacobians(step_fn, X_fact, U_lin)
         if config.condensed:
+            Gx0, gx_l0, gx_u0 = _gx_rows(config, X_fact)
             data, _, _ = build_condensed_qp(
                 Aks, Bks, cks, x0,
                 config.Q, config.R, config.Qf,
                 jnp.tile(x_target, (N + 1, 1)),
                 config.x_min, config.x_max, config.u_min, config.u_max,
-                config.Gx, config.gx_l, config.gx_u,
+                Gx0, gx_l0, gx_u0,
                 config.Gu, config.gu_l, config.gu_u,
                 x_bound_mask=config.x_bound_mask,
             )

@@ -98,6 +98,47 @@ def glideslope_rows(
     )
 
 
+def glideslope_linearized(
+    gamma_gs: float, h_offset: float = 0.2, eps: float = 1e-3
+):
+    """Per-cycle linearization of the SMOOTH glideslope cone
+    ‖r_horiz‖ ≤ (h + h₀)·tanγ — the reference's formulation
+    (``src/mpc/constraints.py:112-132`` hands the smooth constraint to
+    IPOPT symbolically; here it rides the SCP's per-cycle linearization
+    like the dynamics do). Returns a ``RTIConfig.stage_rows_fn``:
+
+        fn(X_lin) -> (Gx (N,1,n_x), gx_l (N,1), gx_u (N,1))
+
+    One row per stage replaces an n-facet inner polyhedral approximation —
+    n× fewer rows in the ADMM's dominant Γ-composed stream, and exact to
+    first order instead of cos(π/n)-conservative. The Euclidean norm is
+    ε-smoothed (‖r‖_ε = √(r·r + ε²)) so the row is defined on the cone
+    axis; because ‖·‖_ε is convex, the linearized set is an OUTER
+    approximation that the SCP tightens as the iterate converges (standard
+    successive linearization; the closed-loop cone adherence is what the
+    tests gate). ``h_offset`` drops the cone vertex below the pad exactly
+    like :func:`glideslope_rows`.
+    """
+    tan_g = math.tan(gamma_gs)
+
+    def fn(X_lin: Array):
+        Xs = X_lin[1:]  # stage rows apply at x_1..x_N
+        N, n_x = Xs.shape
+        r = Xs[:, 2:4]
+        nrm = jnp.sqrt(jnp.sum(r * r, axis=1) + eps * eps)
+        G = jnp.zeros((N, 1, n_x), Xs.dtype)
+        G = G.at[:, 0, 1].set(tan_g)
+        G = G.at[:, 0, 2].set(-r[:, 0] / nrm)
+        G = G.at[:, 0, 3].set(-r[:, 1] / nrm)
+        # tanγ·h − (r̄/‖r̄‖ε)·r ≥ −tanγ·h₀ + ‖r̄‖ε − r̄·r̄/‖r̄‖ε
+        #                       = −tanγ·h₀ + ε²/‖r̄‖ε
+        lo = (-tan_g * h_offset + eps * eps / nrm)[:, None]
+        hi = jnp.full_like(lo, jnp.inf)
+        return G, lo, hi
+
+    return fn
+
+
 def state_box_6dof(params: Rocket6DoFParams) -> Tuple[Array, Array]:
     """State bounds: loose translation boxes + tilt/rate inner boxes."""
     big = 1e20
@@ -122,6 +163,7 @@ def rti_config_6dof(
     admm: Optional[ADMMConfig] = None,
     cone_facets: int = 0,
     glideslope_facets: int = 0,
+    glideslope_smooth: bool = False,
     bound_translation: bool = True,
 ) -> RTIConfig:
     """Build an :class:`RTIConfig` for the 14-state quaternion model.
@@ -155,7 +197,15 @@ def rti_config_6dof(
         extra.update(Gu=Gu, gu_l=gu_l, gu_u=gu_u)
     else:
         u_min, u_max = control_box_6dof(params)
-    if glideslope_facets:
+    if glideslope_smooth:
+        if glideslope_facets:
+            raise ValueError(
+                "glideslope_smooth replaces glideslope_facets — pick one")
+        extra.update(
+            stage_rows_fn=glideslope_linearized(params.gamma_gs),
+            n_stage_rows=1,
+        )
+    elif glideslope_facets:
         Gx, gx_l, gx_u = glideslope_rows(params.gamma_gs, 14, glideslope_facets)
         extra.update(Gx=Gx, gx_l=gx_l, gx_u=gx_u)
     return RTIConfig(

@@ -169,11 +169,22 @@ def build_condensed_qp(
     us.append(Uhi)
 
     if Gx is not None:
-        n_gx = Gx.shape[0]
-        A_gx = jnp.einsum("ij,kjl->kil", Gx, Gs).reshape(N * n_gx, nu)
-        Gd = jnp.einsum("ij,kj->ki", Gx, ds)  # (N, n_gx)
-        l_gx = jnp.where(gx_l[None] <= -big, gx_l[None], gx_l[None] - Gd)
-        u_gx = jnp.where(gx_u[None] >= big, gx_u[None], gx_u[None] - Gd)
+        # Gx: (n_gx, n_x) — one facet block tiled over stages — or
+        # (N, n_gx, n_x) — PER-STAGE rows, e.g. a smooth cone linearized at
+        # each knot of the SCP trajectory (row k applies at x_{k+1}, the
+        # state Gs[k]/ds[k] predict). Bounds broadcast (n_gx,) or (N, n_gx).
+        if Gx.ndim == 3:
+            n_gx = Gx.shape[1]
+            A_gx = jnp.einsum("kij,kjl->kil", Gx, Gs).reshape(N * n_gx, nu)
+            Gd = jnp.einsum("kij,kj->ki", Gx, ds)  # (N, n_gx)
+        else:
+            n_gx = Gx.shape[0]
+            A_gx = jnp.einsum("ij,kjl->kil", Gx, Gs).reshape(N * n_gx, nu)
+            Gd = jnp.einsum("ij,kj->ki", Gx, ds)  # (N, n_gx)
+        L = jnp.broadcast_to(gx_l, (N, n_gx))
+        U = jnp.broadcast_to(gx_u, (N, n_gx))
+        l_gx = jnp.where(L <= -big, L, L - Gd)
+        u_gx = jnp.where(U >= big, U, U - Gd)
         blocks.append(A_gx)
         ls.append(l_gx.reshape(-1))
         us.append(u_gx.reshape(-1))

@@ -232,7 +232,13 @@ def build_6dof(args, jax, jnp):
             max_iter=100, polish=False, adaptive_rho=False, scaling=3,
             use_pallas="off",
         ),
-        cone_facets=args.facets, glideslope_facets=args.facets,
+        cone_facets=args.facets,
+        # --gs-smooth: ONE per-cycle-linearized glideslope row per stage
+        # (the reference's smooth-cone SCP treatment) instead of
+        # `--facets` inner polyhedral rows — 8x fewer rows in the ADMM's
+        # dominant Γ-composed stream
+        glideslope_facets=0 if args.gs_smooth else args.facets,
+        glideslope_smooth=args.gs_smooth,
         bound_translation=not args.elide,
     ).replace(accept_pri_tol=2e-2 if args.bf16 else 1e-2,
               condensed=not args.sparse)
@@ -352,6 +358,11 @@ def main() -> int:
                          "rti controller — the safety-filter rescue regime")
     ap.add_argument("--facets", type=int, default=0,
                     help="gimbal/glideslope cone facets (6-DoF)")
+    ap.add_argument("--gs-smooth", action="store_true",
+                    help="6-DoF: smooth glideslope cone linearized per "
+                         "cycle (1 row/stage) instead of --facets "
+                         "polyhedral rows; the gimbal cone keeps its "
+                         "(cheap, stage-shared) facet rows")
     ap.add_argument("--safety-filter", action="store_true",
                     help="compose the predictive safety filter per cycle and "
                          "run the with/without ablation on shared ICs")

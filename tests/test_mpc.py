@@ -526,3 +526,107 @@ class TestWarmKKT:
             assert float(out["solver_success"].mean()) > 0.99, f"warm={warm}"
         np.testing.assert_allclose(
             results[True]["x_final"], results[False]["x_final"], atol=1e-5)
+
+
+class TestLinearizedStageRows:
+    """Per-cycle linearized state rows (RTIConfig.stage_rows_fn): the smooth
+    glideslope cone handled the SCP way — one row per stage re-linearized at
+    the current iterate — instead of an n-facet inner polyhedron."""
+
+    def test_smooth_glideslope_binds_in_condensed_rti(self):
+        """Track a reference OUTSIDE the cone: after a few receding cycles
+        (the linearization converging onto the active boundary) the plan
+        hugs the cone instead of chasing the reference out."""
+        import math
+        from gpmpc_tpu.mpc import (
+            RTIConfig,
+            eval_glideslope,
+            glideslope_linearized,
+        )
+        from gpmpc_tpu.mpc.rti import rti_init, rti_step
+        from gpmpc_tpu.ops.qp import ADMMConfig
+
+        p = Rocket3DoFParams()
+        gamma = math.radians(30.0)
+        h_off = 0.2
+        x0 = jnp.array([2.0, 10.0, 4.5, 0.0, -0.5, 1.0, 0.0])
+        x_bad = jnp.array([2.0, 8.0, 15.0, 0.0, 0.0, 1.0, 0.0])
+        results = {}
+        for label, kw in (
+            ("plain", {}),
+            ("gs", dict(stage_rows_fn=glideslope_linearized(
+                gamma, h_offset=h_off), n_stage_rows=1)),
+        ):
+            cfg = RTIConfig(
+                N=15, condensed=True,
+                admm=ADMMConfig(max_iter=2000, polish=True), **kw)
+            F = lambda x, u: r3.step(p, x, u, cfg.dt)
+            st = rti_init(cfg, x0, x_bad)
+            x = x0
+            for _k in range(4):
+                sol, st = rti_step(F, cfg, st, x)
+                assert bool(sol.success), label
+                x = F(x, sol.u0)
+            margins = eval_glideslope(
+                sol.X_opt[1:, 1:4] + jnp.array([h_off, 0.0, 0.0]), gamma)
+            results[label] = float(jnp.min(margins))
+        # unconstrained plan chases the reference out of the cone...
+        assert results["plain"] < -0.5, results
+        # ...the re-linearized smooth rows keep the plan on the boundary
+        # (outer approximation: a small second-order overhang is allowed,
+        # unlike the facets' conservative inner margin)
+        assert results["gs"] > -5e-2, results
+
+    def test_smooth_matches_facets_when_inactive(self):
+        """With the cone slack (reference inside), smooth rows and facet
+        rows must produce the same (unconstrained) plan."""
+        import math
+        from gpmpc_tpu.mpc import (
+            RTIConfig,
+            glideslope_linearized,
+            glideslope_rows,
+        )
+        from gpmpc_tpu.mpc.rti import rti_init, rti_step
+        from gpmpc_tpu.ops.qp import ADMMConfig
+
+        p = Rocket3DoFParams()
+        gamma = math.radians(45.0)
+        x0 = jnp.array([2.0, 12.0, 0.5, 0.0, -1.0, 0.0, 0.0])
+        xT = jnp.zeros(7).at[0].set(2.0)
+        plans = {}
+        for label, kw in (
+            ("smooth", dict(stage_rows_fn=glideslope_linearized(gamma),
+                            n_stage_rows=1)),
+            ("facets", dict(zip(("Gx", "gx_l", "gx_u"),
+                                glideslope_rows(gamma, 7, 8)))),
+        ):
+            # cold one-off solve (not the warm-started RTI hot path): give
+            # the ADMM real headroom so both variants actually converge
+            cfg = RTIConfig(N=15, condensed=True, accept_pri_tol=1e-4,
+                            admm=ADMMConfig(max_iter=4000, polish=True), **kw)
+            F = lambda x, u: r3.step(p, x, u, cfg.dt)
+            st = rti_init(cfg, x0, xT)
+            sol, _ = rti_step(F, cfg, st, x0)
+            assert bool(sol.success), label
+            plans[label] = sol.U_opt
+        np.testing.assert_allclose(plans["smooth"], plans["facets"],
+                                   atol=5e-3)
+
+    def test_stage_rows_fn_guards(self):
+        """Config guards: sparse form refuses stage rows; n_stage_rows must
+        be declared; Gx and stage_rows_fn are mutually exclusive."""
+        from gpmpc_tpu.mpc import RTIConfig, glideslope_linearized
+        from gpmpc_tpu.mpc.rti import rti_init, rti_step
+
+        p = Rocket3DoFParams()
+        fn = glideslope_linearized(0.5)
+        x0 = jnp.array([2.0, 10.0, 0.0, 0.0, -1.0, 0.0, 0.0])
+        xT = jnp.zeros(7).at[0].set(2.0)
+        F = lambda x, u: r3.step(p, x, u, 0.1)
+        cfg = RTIConfig(N=5, condensed=False, stage_rows_fn=fn,
+                        n_stage_rows=1)
+        with pytest.raises(ValueError, match="condensed"):
+            rti_step(F, cfg, rti_init(cfg, x0, xT), x0)
+        cfg2 = RTIConfig(N=5, condensed=True, stage_rows_fn=fn)
+        with pytest.raises(ValueError, match="n_stage_rows"):
+            rti_step(F, cfg2, rti_init(cfg2, x0, xT), x0)
