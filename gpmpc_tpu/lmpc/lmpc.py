@@ -137,6 +137,12 @@ class LMPCConfig:
     # row structure declared) — the same QP, solution-parity-tested against
     # the sparse z=[X;U;λ;s] form
     condensed: bool = struct.field(pytree_node=False, default=True)
+    # condensed bound-row elision (see RTIConfig.x_bound_mask): the default
+    # x_min/x_max above are ±50..500 loose envelopes that cannot bind in a
+    # descent — eliding them drops N·n_x of the hull QP's N·(n_x+n_u)+K+n_x+1
+    # rows (landing behavior certified equal on the fleet campaign gates)
+    x_bound_mask: Optional[tuple] = struct.field(
+        pytree_node=False, default=None)
     # "ipm" (default; Mehrotra predictor-corrector, condensed form only) or
     # "admm" (OSQP semantics, the 800-iteration budget above). The hull QP
     # is near-LP — the interior-point regime, and the reference's own LMPC
@@ -357,6 +363,7 @@ def lmpc_solve(
         base, Gs, ds = build_condensed_qp(
             Aks, Bks, cks, x0, config.Q, config.R, jnp.zeros((n_x, n_x)),
             state.x_ref, config.x_min, config.x_max, config.u_min, config.u_max,
+            x_bound_mask=config.x_bound_mask,
         )
         A_hull, l_hull, u_hull, _ = hull_constraint_rows(
             res.states, res.q_values, res.valid, nu, xN_offset=0, soft=True
@@ -405,9 +412,11 @@ def lmpc_solve(
                 # row order
                 C = next((c for c in (5, 4, 3, 2) if N % c == 0), 1)
                 s_blk = N // C
-                admm = admm.replace(row_structure=(
-                    ("blt", C, s_blk * n_x, s_blk * n_u), ("diag", nu),
-                ))
+                n_b = (n_x if config.x_bound_mask is None
+                       else sum(bool(b) for b in config.x_bound_mask))
+                segs = (("diag", nu),) if n_b == 0 else (
+                    ("blt", C, s_blk * n_b, s_blk * n_u), ("diag", nu))
+                admm = admm.replace(row_structure=segs)
             sol = solve(QPData(P=P, q=q, A=A, l=l, u=u), z0, None, admm,
                         rho0=state.rho)
         U_new = sol.x[:nu].reshape(N, n_u)

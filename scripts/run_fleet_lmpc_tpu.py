@@ -148,6 +148,11 @@ def main() -> int:
                          "the probe's vertices across rounds, restoring the "
                          "non-contracting terminal-set premise V-monotonicity "
                          "needs")
+    ap.add_argument("--elide", action="store_true",
+                    help="drop the hull QP's loose-envelope state bound "
+                         "rows (LMPCConfig.x_bound_mask; quality gates "
+                         "must hold — the envelopes cannot bind in a "
+                         "descent)")
     ap.add_argument("--prune", choices=["quality", "fifo", "diversity"],
                     default=None,
                     help="between-round pruning strategy: when the safe set "
@@ -207,6 +212,12 @@ def main() -> int:
         hull_same_trajectory=args.same_traj,
         vertex_memory=args.vertex_memory,
     )
+    if args.elide:
+        # drop the loose-envelope bound rows from the hull QP (3-DoF: all 7
+        # boxes are ±50..500 envelopes; 6-DoF: the 7 [m,r,v] translation
+        # rows — attitude/rate boxes bind and stay)
+        knobs["x_bound_mask"] = ((False,) * 7 + (True,) * 7
+                                 if args.model == "6dof" else (False,) * 7)
     if args.model == "6dof":
         from gpmpc_tpu.dynamics import Rocket6DoFParams, rocket6dof as r6
 
