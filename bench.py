@@ -98,7 +98,15 @@ def main():
     # cannot bind in a descent (binding descent constraints are the facet/
     # calibration configs) — their Γ rows are the ADMM's dominant HBM
     # stream, elided round 5 after 4096-lane campaign quality parity
-    # (success 1.0, 0.415 m/s, 1.6 cm — `sweep_r5/3dof_4096_elide.json`)
+    # (success 1.0, 0.415 m/s, 1.6 cm — `sweep_r5/3dof_4096_elide.json`).
+    # Honesty note: with every 3-DoF state row elided, the chance
+    # back-offs land on rows that are not in the QP — the tightening
+    # COMPUTE (covariance propagation + quantile back-off, the reference's
+    # per-cycle work) is still in the timed cycle, but it cannot steer
+    # this particular QP. The 6-DoF section keeps its binding
+    # attitude/rate rows (back-offs live), and the bound-riding
+    # configuration is certified by scripts/run_calibration_tpu.py. The
+    # detail fields state this (`tightening_targets_elided`).
     rti_cfg = RTIConfig(
         N=N, accept_pri_tol=5e-3, condensed=True,
         x_bound_mask=(False,) * 7,
@@ -393,6 +401,13 @@ def main():
             "solver": SOLVER,
             "batch": BATCH,
             "n_timed_windows": N_WINDOWS,
+            # chance-tightening compute (cov prop + quantile back-off) is
+            # inside the timed cycle, but the 3-DoF config elides every
+            # state bound row, so the back-offs cannot bind here — the
+            # 6-DoF cycle keeps its attitude/rate rows (back-offs live);
+            # bound-riding tightening is certified by run_calibration_tpu
+            "tightening_compute_in_cycle": True,
+            "tightening_targets_elided_3dof": True,
             "gp_mpc_cycle_wall_ms": round(gp_cycle_ms, 2),
             "gp_mpc_cycle_wall_ms_std": round(gp_cycle_std, 3),
             "gp_mpc_meets_50hz_in_lockstep": gp_cycle_ms < 20.0,

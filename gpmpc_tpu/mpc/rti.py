@@ -60,7 +60,11 @@ def _n_gx_rows(config) -> int:
         if config.n_stage_rows <= 0:
             raise ValueError("stage_rows_fn requires n_stage_rows > 0")
         return config.n_stage_rows
-    return 0 if config.Gx is None else config.Gx.shape[0]
+    if config.Gx is None:
+        return 0
+    # constant (n_gx, n_x) block tiled over stages, or an explicit
+    # per-stage (N, n_gx, n_x) array (build_condensed_qp accepts both)
+    return config.Gx.shape[1] if config.Gx.ndim == 3 else config.Gx.shape[0]
 
 
 def _gx_rows(config, X_lin):
@@ -80,6 +84,10 @@ def _n_bound_states(config) -> int:
 
 def _stage_rows(config):
     """(A_ext, l_ext, u_ext) for the configured facet rows."""
+    if config.Gx is not None and config.Gx.ndim == 3:
+        raise ValueError(
+            "per-stage (N, n_gx, n_x) Gx requires condensed=True (the "
+            "sparse stage-row builder tiles one constant block)")
     return build_stage_rows(
         config.N, config.n_x, config.n_u,
         config.Gx, config.gx_l, config.gx_u,

@@ -657,13 +657,16 @@ def solve(
     # the chunk schedule runs n_chunks · check_interval iterations; a
     # non-dividing pair silently truncates the budget (found live: a 6-DoF
     # bf16-tail config at max_iter=80, check_interval=50 ran 50 bulk
-    # iterations, not 80 — enough to flip campaign success)
-    if cfg.max_iter % cfg.check_interval != 0 and cfg.max_iter > cfg.check_interval:
+    # iterations, not 80 — enough to flip campaign success). The guard is
+    # two-sided: max_iter < check_interval would silently OVERRUN the
+    # declared budget instead (n_chunks floors at 1, so e.g. max_iter=20
+    # with the default check_interval=25 runs 25 iterations).
+    if cfg.max_iter % cfg.check_interval != 0:
+        would = max(cfg.max_iter // cfg.check_interval, 1) * cfg.check_interval
         raise ValueError(
             f"max_iter={cfg.max_iter} must be a multiple of "
             f"check_interval={cfg.check_interval} (the chunked schedule "
-            f"would run {max(cfg.max_iter // cfg.check_interval, 1) * cfg.check_interval} "
-            "iterations instead)"
+            f"would run {would} iterations instead)"
         )
     n_chunks = max(cfg.max_iter // cfg.check_interval, 1)
 

@@ -50,6 +50,12 @@ class SafeSet:
     count: Array  # () int32 active entries
     n_trajectories: Array  # () int32
     best_cost: Array  # () best total trajectory cost seen
+    # monotone total of states ever written (head without the mod-capacity
+    # wrap): written <= capacity iff every written slot is the prefix
+    # [0, written) — the exact validity condition for the frozen-set KNN
+    # bucket (see :func:`trim`; ``head`` alone cannot express it, it wraps)
+    written: Array = struct.field(
+        default_factory=lambda: jnp.asarray(0, jnp.int32))
     fuel_margin: float = 0.05
 
     @classmethod
@@ -107,6 +113,14 @@ class SafeSet:
             count=jnp.where(ok, jnp.minimum(self.count + T, self.capacity), self.count),
             n_trajectories=jnp.where(ok, tid + 1, tid),
             best_cost=jnp.where(ok, jnp.minimum(self.best_cost, Q[0]), self.best_cost),
+            # saturate instead of counting past capacity: once the ring has
+            # wrapped the prefix invariant is gone for good, and saturation
+            # keeps the counter meaningful for campaigns of any length
+            written=jnp.where(
+                ok,
+                jnp.minimum(self.written + T, self.capacity + 1),
+                self.written,
+            ).astype(jnp.int32),
         )
 
     # -- queries -------------------------------------------------------------
@@ -165,13 +179,17 @@ def trim(ss: SafeSet, size: int) -> SafeSet:
     bookkeeping). Within a fleet round the set is frozen, so queries can run
     against the smallest power-of-two prefix that covers every written slot.
 
-    Valid whenever ``head ≤ size`` (no ring wraparound past the bucket):
-    inserts are prefix-contiguous, so every row ever written — including
-    actives left scattered by an in-place prune — lives in ``[0, size)``,
-    and rows ≥ head carry ``traj_id = −1`` (masked). Returned KNN indices
-    are prefix indices and therefore remain valid against the full set
-    (vertex memory carries them across rounds as buckets grow). The caller
-    asserts the head bound (see ``run_fleet_lmpc_tpu``).
+    Valid whenever ``written ≤ size`` (``written`` is the MONOTONE insert
+    total — ``head`` wraps mod capacity and cannot express this; a
+    wrapped ring scatters live rows across the whole array and admits no
+    prefix view). Pre-wrap, inserts are prefix-contiguous, so every row
+    ever written — including actives left scattered by an in-place prune —
+    lives in ``[0, size)``, and rows ≥ written carry ``traj_id = −1``
+    (masked). Returned KNN indices are prefix indices and therefore remain
+    valid against the full set (vertex memory carries them across rounds
+    as buckets grow). Callers must fall back to ``size = capacity`` (no
+    trim) once ``written > capacity`` — :func:`knn_bucket` does this when
+    given ``written`` directly.
     """
     return ss.replace(
         states=ss.states[:size],
@@ -183,14 +201,19 @@ def trim(ss: SafeSet, size: int) -> SafeSet:
     )
 
 
-def knn_bucket(head: int, capacity: int, floor: int = 4096) -> int:
-    """Smallest power-of-FOUR ≥ head (≥ floor, ≤ capacity). Powers of four
-    (not two) because every new bucket is a new program shape: on the
-    tunneled TPU a fleet recompile costs tens of seconds, so halving the
-    number of shapes is worth the ≤4× bucket overshoot (still ≥8× under a
-    campaign-sized capacity in early rounds)."""
+def knn_bucket(written: int, capacity: int, floor: int = 4096) -> int:
+    """Smallest power-of-FOUR ≥ ``written`` (≥ floor, ≤ capacity). Powers
+    of four (not two) because every new bucket is a new program shape: on
+    the tunneled TPU a fleet recompile costs tens of seconds, so halving
+    the number of shapes is worth the ≤4× bucket overshoot (still ≥8×
+    under a campaign-sized capacity in early rounds).
+
+    Pass ``SafeSet.written`` (the monotone insert total), NOT ``head``:
+    once the ring has wrapped (written > capacity) this returns
+    ``capacity`` — the full, untrimmed view — because no prefix covers a
+    wrapped ring."""
     b = max(int(floor), 1)
-    h = max(int(head), 1)
+    h = max(int(written), 1)
     while b < h:
         b <<= 2
     return min(b, capacity)

@@ -221,12 +221,18 @@ def main() -> int:
         # arithmetic against the Wilson upper bound, so the recommendation
         # keeps realized violation <= target with 95% confidence even when
         # the point rate is 0): beta > 1 when sigma is underestimated,
-        # beta < 1 when the quantile default is measurably overconservative
+        # beta < 1 when the quantile default is measurably overconservative.
+        # Clamped to [0.3, 3.0]: as the realized upper bound approaches 0.5,
+        # z(1-upper) -> 0 and the raw ratio diverges — a recommendation
+        # outside this band means the sigma model is broken, not that a
+        # 10x multiplier would fix it (flagged instead of applied).
         z_tgt = float(normal_quantile(jnp.asarray(conf)))
         z_real = float(normal_quantile(jnp.asarray(
             max(1.0 - max(upper, 1e-6), 0.5))))
+        raw = z_tgt / max(z_real, 1e-3)
         out["recommended_beta_calibration"] = round(
-            max(z_tgt / max(z_real, 1e-3), 0.3), 3)
+            min(max(raw, 0.3), 3.0), 3)
+        out["beta_recommendation_clamped"] = not 0.3 <= raw <= 3.0
         return out
 
     t0 = time.time()

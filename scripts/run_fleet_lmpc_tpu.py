@@ -319,13 +319,17 @@ def main() -> int:
     for r in range(first_round, args.rounds):
         t0 = time.time()
         # frozen-set KNN bucket (see terminal.safe_set.trim): the round's
-        # queries stream the smallest power-of-two prefix covering every
+        # queries stream the smallest power-of-four prefix covering every
         # written slot instead of the full end-state capacity — buckets
-        # double, so the fleet recompiles its query program O(log) times
-        # per campaign instead of paying final capacity from round 1
-        hw = int(jax.device_get(ss.head))
+        # grow O(log) times per campaign instead of paying final capacity
+        # from round 1. The bound is the MONOTONE insert total, not the
+        # (mod-capacity-wrapping) head: once the ring wraps, live rows are
+        # scattered across the whole array and the view must be the full
+        # capacity (knn_bucket returns capacity then — trim degenerates to
+        # a no-op, never a corrupted prefix).
+        hw = int(jax.device_get(ss.written))
         bucket = knn_bucket(hw, cap)
-        assert hw <= bucket, (hw, bucket)  # no ring wraparound past bucket
+        assert hw <= bucket or bucket == cap, (hw, bucket)
         ss_view = trim(ss, bucket)
         # value estimate BEFORE this round flies; the probe's terminal
         # vertices thread across rounds under --vertex-memory

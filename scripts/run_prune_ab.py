@@ -33,7 +33,6 @@ def main() -> int:
     ap.add_argument("--steps", type=int, default=150)
     ap.add_argument("--capacity", type=int, default=32768)
     ap.add_argument("--cpu", action="store_true")
-    ap.add_argument("--vertex-memory", action="store_true", default=True)
     ap.add_argument("--out", type=str, default=None)
     args = ap.parse_args()
 

@@ -351,7 +351,7 @@ class TestTrimBucket:
         from gpmpc_tpu.terminal.local_safe_set import knn_query
 
         ss = self._grown_set()
-        hw = int(ss.head)
+        hw = int(ss.written)
         bucket = knn_bucket(hw, ss.capacity, floor=32)
         assert hw <= bucket < ss.capacity  # the trim is a real reduction
         x = jnp.array([1.6, 0.3, -0.2, 0.1, -0.5, 0.0, 0.2])
@@ -372,8 +372,8 @@ class TestTrimBucket:
         from gpmpc_tpu.terminal.local_safe_set import knn_query
 
         ss = prune(self._grown_set(), keep=40, strategy="diversity")
-        hw = int(ss.head)
-        assert int(ss.count) < hw  # actives scattered strictly below head
+        hw = int(ss.written)
+        assert int(ss.count) < hw  # actives scattered strictly below written
         bucket = knn_bucket(hw, ss.capacity, floor=32)
         x = jnp.zeros(7).at[0].set(1.6)
         full = knn_query(ss, x, 8)
@@ -391,3 +391,27 @@ class TestTrimBucket:
             assert b >= min(hw, caps) and b <= caps
             assert b >= prev or hw <= prev  # monotone in head
             prev = b
+
+    def test_bucket_degenerates_after_ring_wrap(self):
+        """Once the ring wraps, live rows scatter across the whole array —
+        written saturates past capacity and the bucket MUST become the full
+        capacity (a prefix view would hide live rows; this was a real bug:
+        head wraps mod capacity, so a head-based bound was a tautology)."""
+        from gpmpc_tpu.terminal import SafeSet, knn_bucket, trim
+        from gpmpc_tpu.terminal.local_safe_set import knn_query
+
+        ss = SafeSet.create(64, 7)
+        key = jax.random.PRNGKey(1)
+        for i in range(5):  # 5 x 20 = 100 writes > 64 capacity: wraps
+            key, k = jax.random.split(key)
+            X = jax.random.normal(k, (20, 7)).at[:, 0].set(1.5)
+            ss = ss.add_trajectory(X, jnp.zeros((20, 3)),
+                                   jnp.abs(jax.random.normal(k, (20,))))
+        assert int(ss.written) > ss.capacity  # saturated past capacity
+        assert int(ss.head) < ss.capacity     # ...while head has wrapped
+        bucket = knn_bucket(int(ss.written), ss.capacity, floor=16)
+        assert bucket == ss.capacity          # full view, no trim
+        x = jnp.zeros(7).at[0].set(1.5)
+        full = knn_query(ss, x, 8)
+        view = knn_query(trim(ss, bucket), x, 8)
+        np.testing.assert_array_equal(full.indices, view.indices)
