@@ -33,7 +33,7 @@ from gpmpc_tpu.ops.qp.ruiz import ruiz_equilibrate
 
 N = 20
 BATCH = int(sys.argv[1]) if len(sys.argv) > 1 else 512
-STEPS = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+STEPS = int(sys.argv[2]) if len(sys.argv) > 2 else 50
 WINDOWS = 3
 
 p = Rocket3DoFParams()
@@ -48,13 +48,18 @@ _, mean_fn, var_fn = explore_gp_3dof(
     jax.random.PRNGKey(0), jax.random.PRNGKey(1), p, F_true, dt=dt
 )
 
+# EXACT bench.py flagship config (round 5): RT schedule (1 SCP iter, tape,
+# 50-iteration/1-chunk ADMM) with every loose-envelope bound row elided —
+# so the stage table answers "what remains in the 7.9 ms cycle"
 cfg = GPMPCConfig(
     base=RTIConfig(
-        N=N, accept_pri_tol=5e-3, condensed=True,
-        admm=ADMMConfig(max_iter=100, polish=False, adaptive_rho=False,
-                        scaling=3, use_pallas="off"),
+        N=N, accept_pri_tol=1e-2, condensed=True,
+        x_bound_mask=(False,) * 7,
+        admm=ADMMConfig(max_iter=50, check_interval=50, polish=False,
+                        adaptive_rho=False, scaling=2, use_pallas="off",
+                        infeas_certs=False, iter_unroll=25),
     ),
-    scp_iterations=2, tighten=True,
+    scp_iterations=1, tighten=True, rollout_gp_tape=True,
 )
 base = cfg.base
 
@@ -175,6 +180,7 @@ def build_only(carry):
         data, Gs, ds = build_condensed_qp(
             Aks, Bks, cks, x, base.Q, base.R, base.Qf, s.x_ref,
             base.x_min, base.x_max, base.u_min, base.u_max,
+            x_bound_mask=base.x_bound_mask,
         )
         return data
 
@@ -192,6 +198,7 @@ def prep(s, x):
     data, _, _ = build_condensed_qp(
         Aks, Bks, cks, x, base.Q, base.R, base.Qf, s.x_ref,
         base.x_min, base.x_max, base.u_min, base.u_max,
+        x_bound_mask=base.x_bound_mask,
     )
     return data
 
@@ -245,26 +252,10 @@ def solve_only(carry):
     return (st, xs)
 
 
-timed("solve (Ruiz+factor+100 ADMM+checks)", repeat(solve_only), (states, x0s))
+timed(f"solve (Ruiz+factor+{base.admm.max_iter} ADMM+checks)",
+      repeat(solve_only), (states, x0s))
 
 
-# -- stage: solve with max_iter=50 -------------------------------------------
-admm50 = ADMMConfig(max_iter=50, polish=False, adaptive_rho=False,
-                    scaling=3, use_pallas="off")
-
-
-def solve50_only(carry):
-    st, xs = carry
-
-    def one(d, s):
-        return solve(d, s.U_lin.reshape(-1), s.y_prev, admm50, rho0=s.rho)
-
-    sol = jax.vmap(one)(data0, st)
-    xs = xs + 1e-20 * sol.x[:, :7]
-    return (st, xs)
-
-
-timed("solve (Ruiz+factor+50 ADMM+checks)", repeat(solve50_only), (states, x0s))
 
 print(f"\nbatch={BATCH} N={N} scp_iters={cfg.scp_iterations} "
       f"devices={jax.devices()}", flush=True)
