@@ -324,8 +324,10 @@ def main():
     # ---- 6-DoF quaternion GP-MPC cycle (the reference's FLAGSHIP model —
     # nominal_mpc.py:151-261 — against the same 20 ms/50 Hz budget,
     # osqp_rti.py:10-14). Exact run_campaign_tpu --model 6dof --rt solver
-    # config: 1 SCP iter + rollout tape + the full 100-iteration ADMM
-    # budget at check_interval=50, with the translation bound rows elided
+    # config: 1 SCP iter + rollout tape + the measured 60-iteration ADMM
+    # budget at check_interval=30 (the --iters frontier sweep: 50 regresses
+    # dispersed-lane success 0.967, 60 matches the 100-iteration quality at
+    # both 512 and 4096 lanes for +17%), translation bound rows elided
     # (their loose envelopes are HALF the condensed constraint stream and
     # cannot bind in a descent — campaign quality parity verified).
     from gpmpc_tpu.dynamics import Rocket6DoFParams, rocket6dof as r6
@@ -342,9 +344,9 @@ def main():
         jax.random.PRNGKey(42), p6, F6_true, n_episodes=4)
     base6 = rti_config_6dof(
         p6, N=N,
-        admm=ADMMConfig(max_iter=100, check_interval=50, polish=False,
+        admm=ADMMConfig(max_iter=60, check_interval=30, polish=False,
                         adaptive_rho=False, scaling=2, use_pallas="off",
-                        infeas_certs=False, iter_unroll=25),
+                        infeas_certs=False, iter_unroll=15),
         bound_translation=False,
     ).replace(accept_pri_tol=1e-2, condensed=True)
     gp6_cfg = GPMPCConfig(base=base6, scp_iterations=SCP_ITERS, tighten=True,

@@ -200,6 +200,16 @@ def _apply_admm_overrides(base, args):
     from gpmpc_tpu.mpc.rti import _n_bound_states
 
     admm = base.admm
+    if args.iters > 0:
+        # f32 budget override (the lever between the certified budget and
+        # the known-bad floor — 6-DoF: 100 certified, 50 measured at 0.967
+        # on 1024 dispersed lanes). check_interval must DIVIDE the budget
+        # (the chunk schedule runs floor(mi/ci)*ci iterations), so pick the
+        # largest divisor <= 50; --ci below can still refine it.
+        mi = args.iters
+        ci = max(d for d in range(1, min(50, mi) + 1) if mi % d == 0)
+        admm = admm.replace(max_iter=mi, check_interval=ci,
+                            iter_unroll=max(1, ci // 2))
     if args.ci > 0:
         admm = admm.replace(check_interval=args.ci,
                             iter_unroll=max(1, args.ci // 2))
@@ -292,14 +302,18 @@ def build_6dof(args, jax, jnp):
             jax.random.PRNGKey(42), p, plant, n_episodes=6
         )
         if args.rt:
-            # 14-state real-time config: 1 SCP iteration + rollout tape, but
-            # the FULL 100-iteration budget — at the 3-DoF 50-iteration
-            # schedule the widest-dispersion lanes of a 1024-lane campaign
-            # regress (0.967 vs 1.000 success; the 32-lane CPU gate passed
-            # at 1.000 — tail ICs need the deeper duals on the 14-state QP)
+            # 14-state real-time config: 1 SCP iteration + rollout tape +
+            # the measured 60-iteration ADMM budget. The budget frontier was
+            # swept with --iters on the chip (sweep_r5/6dof_*_it*.json):
+            # 50 iterations regress the widest-dispersion lanes (0.967 vs
+            # 1.000 at 1024 — tail ICs need the deeper duals on the 14-state
+            # QP), 60 matches the 100-iteration quality exactly at both 512
+            # and 4096 lanes (success 0.99951, touchdown 0.284 m/s, error
+            # 1.0 cm) for +17% throughput (24.2k vs 20.8k solves/s at 4096)
             base = base.replace(
-                admm=base.admm.replace(check_interval=50, scaling=2,
-                                       infeas_certs=False, iter_unroll=25),
+                admm=base.admm.replace(max_iter=60, check_interval=30,
+                                       scaling=2, infeas_certs=False,
+                                       iter_unroll=15),
             )
             if args.bf16_tail > 0:
                 # bf16 bulk + f32 tail inside the same 100-iteration budget
@@ -401,6 +415,12 @@ def main() -> int:
                          "collapsed success at 4096 (see "
                          "campaign_gpmpc3dof_4096_rt_bf16.json) while the "
                          "bulk still streams half the bytes.")
+    ap.add_argument("--iters", type=int, default=0,
+                    help="override the RT f32 ADMM iteration budget "
+                         "(0 = keep the model's certified default: 50 for "
+                         "3-DoF, 100 for 6-DoF). check_interval follows as "
+                         "the largest divisor <= 50. Requires --controller "
+                         "gp_mpc --rt; incompatible with --bf16-tail.")
     ap.add_argument("--ci", type=int, default=0,
                     help="override the RT ADMM check_interval (finer chunks "
                          "= earlier all-lanes early exit at the cost of more "
@@ -465,6 +485,17 @@ def main() -> int:
             raise SystemExit(
                 "--bf16-tail cannot combine with --pallas lanes (the Pallas "
                 "chunk applies the f32 A in VMEM; there is no bf16 bulk)")
+    if args.iters != 0:
+        if args.controller != "gp_mpc" or not args.rt:
+            raise SystemExit(
+                "--iters requires --controller gp_mpc --rt (it overrides "
+                "the RT schedule's f32 iteration budget)")
+        if args.bf16_tail > 0:
+            raise SystemExit(
+                "--iters is incompatible with --bf16-tail (the tail flag "
+                "already defines its own bulk budget)")
+        if args.iters < 1:
+            raise SystemExit("--iters must be positive")
     if args.gust != 0.0 and (
         args.controller not in ("rti", "gp_mpc", "online_gp_mpc")
         or args.model != "3dof"
