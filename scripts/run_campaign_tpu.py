@@ -310,10 +310,18 @@ def build_6dof(args, jax, jnp):
             # QP), 60 matches the 100-iteration quality exactly at both 512
             # and 4096 lanes (success 0.99951, touchdown 0.284 m/s, error
             # 1.0 cm) for +17% throughput (24.2k vs 20.8k solves/s at 4096)
+            # EXCEPT when cone stage/facet rows are active: the augmented
+            # QP needs the deeper duals — at 60 iterations the smooth-cone
+            # 1024-lane campaign drops 3 lanes (success 0.9971 vs 1.0000,
+            # sweep_r5/6dof_cones_smooth_1024_it60.json), so the cone arm
+            # keeps the full 100-iteration schedule
+            cones = args.facets > 0 or args.gs_smooth
             base = base.replace(
-                admm=base.admm.replace(max_iter=60, check_interval=30,
-                                       scaling=2, infeas_certs=False,
-                                       iter_unroll=15),
+                admm=base.admm.replace(
+                    max_iter=100 if cones else 60,
+                    check_interval=50 if cones else 30,
+                    scaling=2, infeas_certs=False,
+                    iter_unroll=25 if cones else 15),
             )
             if args.bf16_tail > 0:
                 # bf16 bulk + f32 tail inside the same 100-iteration budget
